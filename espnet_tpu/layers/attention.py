@@ -1,0 +1,128 @@
+"""Multi-head attention layers.
+
+Capability parity with espnet/nets/pytorch_backend/transformer/attention.py
+(MultiHeadedAttention:16, RelPositionMultiHeadedAttention:117) re-designed
+for the MXU: all projections are batched matmuls, scores via einsum, and
+the Transformer-XL relative-position term uses the pad/reshape shift trick
+(reshape-only, no gathers).
+
+Masks are boolean with True = attend-allowed; shapes broadcastable to
+(B, 1, Tq, Tk).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+MASK_MIN = -1.0e9
+
+
+class MultiHeadedAttention(nn.Module):
+    n_head: int
+    n_feat: int
+    dropout_rate: float = 0.0
+
+    def setup(self):
+        assert self.n_feat % self.n_head == 0
+        self.d_k = self.n_feat // self.n_head
+        self.linear_q = nn.Dense(self.n_feat)
+        self.linear_k = nn.Dense(self.n_feat)
+        self.linear_v = nn.Dense(self.n_feat)
+        self.linear_out = nn.Dense(self.n_feat)
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def qkv(self, query, key, value):
+        b = query.shape[0]
+        q = self.linear_q(query).reshape(b, -1, self.n_head, self.d_k)
+        k = self.linear_k(key).reshape(b, -1, self.n_head, self.d_k)
+        v = self.linear_v(value).reshape(b, -1, self.n_head, self.d_k)
+        return q, k, v
+
+    def attend(self, scores, value, mask, deterministic):
+        """scores (B,H,Tq,Tk), value (B,Tk,H,Dk) → (B,Tq,n_feat)."""
+        if mask is not None:
+            scores = jnp.where(mask, scores, MASK_MIN)
+        attn = nn.softmax(scores, axis=-1)
+        if mask is not None:
+            attn = jnp.where(mask, attn, 0.0)
+        attn = self.dropout(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, value)
+        b, tq = out.shape[:2]
+        return self.linear_out(out.reshape(b, tq, self.n_feat)), attn
+
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key: jnp.ndarray,
+        value: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        return_attn: bool = False,
+    ):
+        q, k, v = self.qkv(query, key, value)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(self.d_k, dtype=q.dtype)
+        )
+        if mask is not None and mask.ndim == 3:
+            mask = mask[:, None]
+        out, attn = self.attend(scores, v, mask, deterministic)
+        return (out, attn) if return_attn else out
+
+
+def rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, T, 2T-1) scores over distances [T-1..-(T-1)] → (B, H, T, T)
+    aligned so out[..., i, j] = x[..., i, (T-1) - i + j].
+
+    Pure pad/reshape — compiles to data movement only.
+    """
+    b, h, t, n = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))  # (B,H,T,2T)
+    x = x.reshape(b, h, n + 1, t)
+    x = x[:, :, 1:].reshape(b, h, t, n)
+    return x[:, :, :, :t]
+
+
+class RelPositionMultiHeadedAttention(MultiHeadedAttention):
+    """Transformer-XL relative-position MHSA (Conformer 'rel_selfattn').
+
+    score = (q+u)·k + rel_shift((q+v)·p), both scaled by 1/sqrt(d_k).
+    """
+
+    def setup(self):
+        super().setup()
+        self.linear_pos = nn.Dense(self.n_feat, use_bias=False)
+        self.pos_bias_u = self.param(
+            "pos_bias_u", nn.initializers.xavier_uniform(), (self.n_head, self.d_k)
+        )
+        self.pos_bias_v = self.param(
+            "pos_bias_v", nn.initializers.xavier_uniform(), (self.n_head, self.d_k)
+        )
+
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key: jnp.ndarray,
+        value: jnp.ndarray,
+        pos_emb: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        return_attn: bool = False,
+    ):
+        q, k, v = self.qkv(query, key, value)
+        n_pos = pos_emb.shape[1]
+        p = self.linear_pos(pos_emb).reshape(-1, n_pos, self.n_head, self.d_k)
+
+        q_u = q + self.pos_bias_u[None, None]
+        q_v = q + self.pos_bias_v[None, None]
+        matrix_ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k)
+        matrix_bd = jnp.einsum("bqhd,bphd->bhqp", q_v, p)
+        matrix_bd = rel_shift(matrix_bd)
+        scores = (matrix_ac + matrix_bd) / jnp.sqrt(
+            jnp.asarray(self.d_k, dtype=q.dtype)
+        )
+        if mask is not None and mask.ndim == 3:
+            mask = mask[:, None]
+        out, attn = self.attend(scores, v, mask, deterministic)
+        return (out, attn) if return_attn else out

@@ -1,0 +1,111 @@
+"""Conformer encoder (reference: conformer/encoder.py:36,
+conformer/encoder_layer.py:17).
+
+Macaron FF(×1/2) → rel-pos MHSA → depthwise conv module → FF(×1/2), each
+with pre-norm residual, plus a final LayerNorm. Relative positional
+encoding feeds every layer.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from espnet_tpu.layers.attention import RelPositionMultiHeadedAttention
+from espnet_tpu.layers.convolution import ConformerConvModule
+from espnet_tpu.layers.embedding import RelPositionalEncoding
+from espnet_tpu.layers.feed_forward import PositionwiseFeedForward
+from espnet_tpu.layers.subsampling import Conv2dSubsampling
+from espnet_tpu.utils.masks import make_non_pad_mask
+
+
+class ConformerEncoderLayer(nn.Module):
+    attention_dim: int
+    attention_heads: int
+    linear_units: int
+    cnn_kernel: int = 31
+    dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    use_macaron: bool = True
+    use_cnn: bool = True
+
+    @nn.compact
+    def __call__(self, x, pos_emb, attn_mask, pad_mask, deterministic: bool = True):
+        drop = nn.Dropout(self.dropout_rate)
+        ff_scale = 0.5 if self.use_macaron else 1.0
+
+        if self.use_macaron:
+            residual = x
+            x = nn.LayerNorm()(x)
+            x = PositionwiseFeedForward(
+                self.linear_units, self.dropout_rate, activation="swish"
+            )(x, deterministic=deterministic)
+            x = residual + ff_scale * drop(x, deterministic=deterministic)
+
+        residual = x
+        x = nn.LayerNorm()(x)
+        x = RelPositionMultiHeadedAttention(
+            self.attention_heads, self.attention_dim, self.attention_dropout_rate
+        )(x, x, x, pos_emb, attn_mask, deterministic=deterministic)
+        x = residual + drop(x, deterministic=deterministic)
+
+        if self.use_cnn:
+            residual = x
+            x = nn.LayerNorm()(x)
+            x = ConformerConvModule(self.cnn_kernel)(
+                x, pad_mask, deterministic=deterministic
+            )
+            x = residual + drop(x, deterministic=deterministic)
+
+        residual = x
+        x = nn.LayerNorm()(x)
+        x = PositionwiseFeedForward(
+            self.linear_units, self.dropout_rate, activation="swish"
+        )(x, deterministic=deterministic)
+        x = residual + ff_scale * drop(x, deterministic=deterministic)
+
+        return nn.LayerNorm()(x)
+
+
+class ConformerEncoder(nn.Module):
+    attention_dim: int = 256
+    attention_heads: int = 4
+    linear_units: int = 2048
+    num_blocks: int = 6
+    cnn_kernel: int = 31
+    dropout_rate: float = 0.1
+    positional_dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    input_layer: str = "conv2d"
+    use_macaron: bool = True
+    use_cnn: bool = True
+
+    @nn.compact
+    def __call__(self, xs: jnp.ndarray, ilens: jnp.ndarray, deterministic: bool = True):
+        if self.input_layer in ("conv2d", "conv2d6", "conv2d8"):
+            factor = {"conv2d": 4, "conv2d6": 6, "conv2d8": 8}[self.input_layer]
+            xs, olens = Conv2dSubsampling(self.attention_dim, factor)(
+                xs, ilens, deterministic=deterministic
+            )
+        elif self.input_layer == "linear":
+            xs = nn.Dense(self.attention_dim)(xs)
+            xs = nn.LayerNorm()(xs)
+            olens = ilens
+        else:
+            raise ValueError(self.input_layer)
+        xs, pos_emb = RelPositionalEncoding(
+            self.attention_dim, self.positional_dropout_rate
+        )(xs, deterministic=deterministic)
+        pad_mask = make_non_pad_mask(olens, xs.shape[1])  # (B, T)
+        attn_mask = pad_mask[:, None, :]  # (B, 1, T)
+        for _ in range(self.num_blocks):
+            xs = ConformerEncoderLayer(
+                self.attention_dim,
+                self.attention_heads,
+                self.linear_units,
+                self.cnn_kernel,
+                self.dropout_rate,
+                self.attention_dropout_rate,
+                self.use_macaron,
+                self.use_cnn,
+            )(xs, pos_emb, attn_mask, pad_mask, deterministic=deterministic)
+        return xs, olens

@@ -1,0 +1,46 @@
+"""CTC output head (reference: espnet/nets/pytorch_backend/ctc.py:12).
+
+A single projection to vocab plus the scan/Pallas CTC loss; exposes
+log_softmax/argmax/forced-align used by decoding and alignment tools.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from espnet_tpu.losses.ctc import ctc_forced_align, ctc_loss
+
+
+class CTCHead(nn.Module):
+    vocab_size: int
+    dropout_rate: float = 0.0
+
+    def setup(self):
+        self.ctc_lo = nn.Dense(self.vocab_size)
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def __call__(
+        self,
+        hs: jnp.ndarray,
+        hlens: jnp.ndarray,
+        ys: jnp.ndarray,
+        ylens: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Mean-over-batch CTC loss (reference ctc.py:53-60 semantics:
+        reduction='sum' ÷ batch)."""
+        hs = self.dropout(hs, deterministic=deterministic)
+        logp = nn.log_softmax(self.ctc_lo(hs), axis=-1)
+        nll = ctc_loss(logp, ys, hlens, ylens)
+        return nll.sum() / hs.shape[0]
+
+    def log_softmax(self, hs: jnp.ndarray) -> jnp.ndarray:
+        return nn.log_softmax(self.ctc_lo(hs), axis=-1)
+
+    def argmax(self, hs: jnp.ndarray) -> jnp.ndarray:
+        return jnp.argmax(self.log_softmax(hs), axis=-1)
+
+    def forced_align(
+        self, hs: jnp.ndarray, hlens: jnp.ndarray, ys: jnp.ndarray, ylens: jnp.ndarray
+    ) -> jnp.ndarray:
+        return ctc_forced_align(self.log_softmax(hs), ys, hlens, ylens)

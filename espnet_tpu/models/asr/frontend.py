@@ -1,0 +1,67 @@
+"""In-graph feature frontend modules (reference:
+espnet2/asr/frontend/default.py:19, espnet2/layers/global_mvn.py).
+
+Raw waveform → STFT → power → log-mel runs inside the jitted model so the
+whole pipeline stays on device; GlobalMVN stats live in a non-trainable
+'norm_stats' variable collection filled by the collect-stats stage.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from espnet_tpu.ops.mvn import utterance_mvn
+from espnet_tpu.ops.stft import log_mel_spectrogram
+
+
+class DefaultFrontend(nn.Module):
+    fs: int = 16000
+    n_fft: int = 512
+    hop_length: int = 128
+    win_length: Optional[int] = None
+    n_mels: int = 80
+    fmin: float = 0.0
+    fmax: Optional[float] = None
+
+    def __call__(self, speech: jnp.ndarray, lengths: jnp.ndarray):
+        return log_mel_spectrogram(
+            speech,
+            lengths,
+            fs=self.fs,
+            n_fft=self.n_fft,
+            hop_length=self.hop_length,
+            win_length=self.win_length,
+            n_mels=self.n_mels,
+            fmin=self.fmin,
+            fmax=self.fmax,
+        )
+
+
+class GlobalMVN(nn.Module):
+    """Feature normalisation with persisted global stats."""
+
+    feat_dim: int = 80
+    norm_means: bool = True
+    norm_vars: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, ilens: jnp.ndarray) -> jnp.ndarray:
+        mean = self.variable(
+            "norm_stats", "mean", lambda: jnp.zeros((self.feat_dim,))
+        )
+        std = self.variable(
+            "norm_stats", "std", lambda: jnp.ones((self.feat_dim,))
+        )
+        from espnet_tpu.ops.mvn import global_mvn
+
+        return global_mvn(x, ilens, mean.value, std.value, self.norm_means, self.norm_vars)
+
+
+class UtteranceMVN(nn.Module):
+    norm_means: bool = True
+    norm_vars: bool = False
+
+    def __call__(self, x: jnp.ndarray, ilens: jnp.ndarray) -> jnp.ndarray:
+        return utterance_mvn(x, ilens, self.norm_means, self.norm_vars)
