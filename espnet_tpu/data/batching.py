@@ -1,0 +1,89 @@
+"""Length-adaptive batching with bucketed static shapes.
+
+Re-design of the reference batchers (espnet/utils/training/batchfy.py:327
+make_batchset; espnet2/samplers/*) for XLA: batches are built by sorted
+length (seq / bin / frame-count modes, sortagrad) and then PADDED UP to
+bucket boundaries so the number of distinct compiled shapes stays small —
+the jit-cache-friendly replacement for fully dynamic batch shapes.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def bucket_length(n: int, min_bucket: int = 32, growth: float = 1.25) -> int:
+    """Smallest bucket boundary >= n: min_bucket * growth^k (rounded to 8)."""
+    if n <= min_bucket:
+        return min_bucket
+    k = math.ceil(math.log(n / min_bucket) / math.log(growth))
+    b = min_bucket * growth**k
+    return int(math.ceil(b / 8) * 8)
+
+
+def make_batches(
+    shapes: Dict[str, Sequence[int]],
+    batch_size: int = 32,
+    batch_bins: Optional[int] = None,
+    mode: str = "seq",  # seq | bin | frame
+    sortagrad: bool = False,
+    shuffle_seed: Optional[int] = None,
+    min_batch_size: int = 1,
+    drop_last: bool = False,
+) -> List[List[str]]:
+    """shapes: {uttid: (T, ...)} → list of batches (lists of uttids).
+
+    mode seq: fixed #utts; bin: total T*D per batch <= batch_bins;
+    frame: total T per batch <= batch_bins.
+    """
+    items = sorted(shapes.items(), key=lambda kv: -int(kv[1][0]))
+    batches: List[List[str]] = []
+    if mode == "seq":
+        for i in range(0, len(items), batch_size):
+            batches.append([k for k, _ in items[i: i + batch_size]])
+    else:
+        cur: List[str] = []
+        cur_cost = 0
+        for k, shp in items:
+            t = int(shp[0])
+            cost = t * (int(shp[1]) if (mode == "bin" and len(shp) > 1) else 1)
+            if cur and cur_cost + cost > (batch_bins or 1 << 60):
+                batches.append(cur)
+                cur, cur_cost = [], 0
+            cur.append(k)
+            cur_cost += cost
+        if cur and (not drop_last or len(cur) >= min_batch_size):
+            batches.append(cur)
+    if shuffle_seed is not None:
+        rng = np.random.RandomState(shuffle_seed)
+        if sortagrad:
+            head, tail = batches[:1], batches[1:]
+            rng.shuffle(tail)
+            batches = head + tail
+        else:
+            rng.shuffle(batches)
+    return batches
+
+
+def pad_batch(
+    arrays: List[np.ndarray],
+    pad_value: float = 0.0,
+    bucket: bool = True,
+    min_bucket: int = 32,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack variable-length arrays → (padded (B, Tb, ...), lengths (B,)).
+
+    With bucket=True the time axis is padded up to a bucket boundary so jit
+    recompiles stay bounded.
+    """
+    lens = np.array([a.shape[0] for a in arrays], dtype=np.int32)
+    tmax = int(lens.max())
+    if bucket:
+        tmax = bucket_length(tmax, min_bucket)
+    rest = arrays[0].shape[1:]
+    out = np.full((len(arrays), tmax) + rest, pad_value, dtype=arrays[0].dtype)
+    for i, a in enumerate(arrays):
+        out[i, : a.shape[0]] = a
+    return out, lens

@@ -1,0 +1,160 @@
+"""scp-driven dataset + collate (reference: espnet2/train/dataset.py:261
+ESPnetDataset, collate_fn.py:15 CommonCollateFn, preprocessor.py:30).
+
+A dataset is a set of (path, name, type) triplets; __getitem__ returns
+{name: np.ndarray}. The collate fn pads each names' arrays to bucketed
+static shapes and adds `{name}_lengths`, producing the kwargs dict the
+jitted train step consumes. Iter factories give epoch-seeded reproducible
+shuffling (sequence_iter_factory.py:27).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from espnet_tpu.data.batching import make_batches, pad_batch
+from espnet_tpu.data.kaldi_io import load_scp_entry, read_scp
+from espnet_tpu.data.wav import read_wav
+
+INT_PAD = -1  # text padding (ignore_id), reference convention
+
+
+def _load_sound(path: str) -> np.ndarray:
+    _, wav = read_wav(path)
+    if wav.ndim > 1:
+        wav = wav[:, 0]
+    return wav.astype(np.float32)
+
+
+def _load_npy(path: str) -> np.ndarray:
+    return np.load(path)
+
+
+LOADERS: Dict[str, Callable[[str], np.ndarray]] = {
+    "sound": _load_sound,
+    "kaldi_ark": load_scp_entry,
+    "npy": _load_npy,
+    "text_int": lambda s: np.array([int(x) for x in s.split()], dtype=np.int32),
+}
+
+
+class ESPnetDataset:
+    """Random-access dataset over scp files.
+
+    path_name_type_list: [(path, name, type)], type in LOADERS or 'text'.
+    For 'text', a preprocessor (tokenize→ids) must be given.
+    """
+
+    def __init__(
+        self,
+        path_name_type_list: Sequence[Tuple[str, str, str]],
+        preprocessor: Optional[Callable[[str, Dict], Dict]] = None,
+    ):
+        self.specs = list(path_name_type_list)
+        self.tables: Dict[str, Dict[str, str]] = {}
+        self.types: Dict[str, str] = {}
+        keys = None
+        for path, name, typ in self.specs:
+            table = read_scp(path)
+            self.tables[name] = table
+            self.types[name] = typ
+            if keys is None:
+                keys = list(table.keys())
+        self.keys: List[str] = keys or []
+        self.preprocessor = preprocessor
+
+    def __len__(self) -> int:
+        return len(self.keys)
+
+    def __getitem__(self, uid: str) -> Dict[str, np.ndarray]:
+        out: Dict[str, np.ndarray] = {}
+        for name, table in self.tables.items():
+            typ = self.types[name]
+            val = table[uid]
+            if typ == "text":
+                out[name] = val  # raw string; preprocessor converts
+            else:
+                out[name] = LOADERS[typ](val)
+        if self.preprocessor is not None:
+            out = self.preprocessor(uid, out)
+        return out
+
+
+class CommonPreprocessor:
+    """Tokenize 'text' fields to int ids (preprocessor.py:30)."""
+
+    def __init__(self, tokenizer, converter, text_names: Sequence[str] = ("text",)):
+        self.tokenizer = tokenizer
+        self.converter = converter
+        self.text_names = text_names
+
+    def __call__(self, uid: str, data: Dict) -> Dict:
+        for name in self.text_names:
+            if name in data and isinstance(data[name], str):
+                toks = self.tokenizer.text2tokens(data[name])
+                data[name] = np.array(
+                    self.converter.tokens2ids(toks), dtype=np.int32
+                )
+        return data
+
+
+def common_collate(
+    samples: List[Dict[str, np.ndarray]],
+    int_pad: int = INT_PAD,
+    float_pad: float = 0.0,
+    bucket: bool = True,
+) -> Dict[str, np.ndarray]:
+    """List of sample dicts → padded batch dict with *_lengths."""
+    out: Dict[str, np.ndarray] = {}
+    names = samples[0].keys()
+    for name in names:
+        arrays = [s[name] for s in samples]
+        if arrays[0].ndim == 0:
+            out[name] = np.stack(arrays)
+            continue
+        pad = int_pad if np.issubdtype(arrays[0].dtype, np.integer) else float_pad
+        padded, lens = pad_batch(arrays, pad_value=pad, bucket=bucket)
+        out[name] = padded
+        out[f"{name}_lengths"] = lens
+    return out
+
+
+class SequenceIterFactory:
+    """Epoch-seeded reproducible batch iterator
+    (sequence_iter_factory.py:27)."""
+
+    def __init__(
+        self,
+        dataset: ESPnetDataset,
+        shapes: Dict[str, Sequence[int]],
+        batch_size: int = 32,
+        batch_bins: Optional[int] = None,
+        mode: str = "seq",
+        seed: int = 0,
+        sortagrad: bool = False,
+        shuffle: bool = True,
+        collate: Callable = common_collate,
+    ):
+        self.dataset = dataset
+        self.shapes = shapes
+        self.batch_size = batch_size
+        self.batch_bins = batch_bins
+        self.mode = mode
+        self.seed = seed
+        self.sortagrad = sortagrad
+        self.shuffle = shuffle
+        self.collate = collate
+
+    def __call__(self, epoch: int) -> Iterable[Dict[str, np.ndarray]]:
+        batches = make_batches(
+            self.shapes,
+            batch_size=self.batch_size,
+            batch_bins=self.batch_bins,
+            mode=self.mode,
+            sortagrad=self.sortagrad and epoch == 1,
+            shuffle_seed=(self.seed + epoch) if self.shuffle else None,
+        )
+        for batch_keys in batches:
+            yield self.collate([self.dataset[k] for k in batch_keys])

@@ -1,0 +1,8 @@
+from espnet_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    data_parallel_shardings,
+)
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_shardings"]

@@ -1,0 +1,133 @@
+"""Data layer tests: kaldi IO round-trip, wav IO, tokenizers, BPE,
+batching, dataset+collate (reference test/espnet2/fileio, samplers,
+train/test_dataset.py patterns)."""
+import numpy as np
+import pytest
+
+from espnet_tpu.data.batching import bucket_length, make_batches, pad_batch
+from espnet_tpu.data.kaldi_io import (
+    ArkScpWriter,
+    load_scp_entry,
+    read_cmvn_stats,
+    read_scp,
+    write_cmvn_stats,
+)
+from espnet_tpu.data.wav import read_wav, write_wav
+from espnet_tpu.text.bpe import BPETokenizer
+from espnet_tpu.text.tokenizers import (
+    CharTokenizer,
+    TokenIDConverter,
+    WordTokenizer,
+    build_token_list,
+)
+from espnet_tpu.utils.metrics import ErrorCalculator, align_ops, edit_distance
+
+
+def test_ark_scp_roundtrip(tmp_path):
+    mats = {f"utt{i}": np.random.RandomState(i).randn(5 + i, 3).astype(np.float32) for i in range(3)}
+    with ArkScpWriter(tmp_path / "feats.ark", tmp_path / "feats.scp") as w:
+        for k, v in mats.items():
+            w[k] = v
+    scp = read_scp(tmp_path / "feats.scp")
+    assert list(scp) == list(mats)
+    for k in mats:
+        got = load_scp_entry(scp[k])
+        np.testing.assert_allclose(got, mats[k], rtol=1e-6)
+
+
+def test_cmvn_stats_roundtrip(tmp_path):
+    s = np.random.RandomState(0).randn(20)
+    sq = np.abs(np.random.RandomState(1).randn(20))
+    write_cmvn_stats(tmp_path / "cmvn.ark", 100.0, s, sq)
+    count, s2, sq2 = read_cmvn_stats(tmp_path / "cmvn.ark")
+    assert count == 100.0
+    np.testing.assert_allclose(s2, s, rtol=1e-6)
+
+
+def test_wav_roundtrip(tmp_path):
+    x = np.sin(np.linspace(0, 100, 8000)).astype(np.float32) * 0.5
+    write_wav(tmp_path / "a.wav", 16000, x)
+    rate, y = read_wav(tmp_path / "a.wav")
+    assert rate == 16000
+    np.testing.assert_allclose(y, x, atol=1e-3)
+
+
+def test_char_tokenizer():
+    tok = CharTokenizer()
+    t = tok.text2tokens("AB C")
+    assert t == ["A", "B", "<space>", "C"]
+    assert tok.tokens2text(t) == "AB C"
+
+
+def test_token_id_converter():
+    conv = TokenIDConverter(["<blank>", "<unk>", "A", "B", "<sos/eos>"])
+    assert conv.tokens2ids(["A", "B", "Z"]) == [2, 3, 1]
+    assert conv.ids2tokens([2, 3]) == ["A", "B"]
+
+
+def test_build_token_list():
+    tl = build_token_list(["AB", "BC"], "char")
+    assert tl[0] == "<blank>" and tl[-1] == "<sos/eos>"
+    assert "A" in tl and "C" in tl
+
+
+def test_bpe_roundtrip():
+    texts = ["the cat sat on the mat", "the dog sat on the log"] * 10
+    bpe = BPETokenizer.train(texts, vocab_size=40)
+    toks = bpe.text2tokens("the cat sat")
+    assert bpe.tokens2text(toks) == "the cat sat"
+    assert len(toks) <= len("the cat sat")
+
+
+def test_bpe_save_load(tmp_path):
+    bpe = BPETokenizer.train(["aa bb aa bb aa"], vocab_size=10)
+    bpe.save(tmp_path / "bpe.json")
+    bpe2 = BPETokenizer.load(tmp_path / "bpe.json")
+    assert bpe2.text2tokens("aa bb") == bpe.text2tokens("aa bb")
+
+
+def test_bucket_length_monotonic():
+    prev = 0
+    for n in [1, 10, 33, 64, 100, 500, 5000]:
+        b = bucket_length(n)
+        assert b >= n and b >= prev
+        prev = b
+
+
+def test_make_batches_modes():
+    shapes = {f"u{i}": (10 + i, 20) for i in range(10)}
+    b_seq = make_batches(shapes, batch_size=3, mode="seq")
+    assert sum(len(b) for b in b_seq) == 10
+    b_bin = make_batches(shapes, batch_bins=20 * 40, mode="bin")
+    assert all(sum(shapes[k][0] * 20 for k in b) <= 20 * 40 or len(b) == 1 for b in b_bin)
+    b1 = make_batches(shapes, batch_size=3, shuffle_seed=1)
+    b2 = make_batches(shapes, batch_size=3, shuffle_seed=1)
+    assert b1 == b2
+
+
+def test_pad_batch():
+    arrays = [np.ones((5, 2)), np.ones((9, 2))]
+    padded, lens = pad_batch(arrays, bucket=True)
+    assert padded.shape[1] == 32  # min bucket
+    assert list(lens) == [5, 9]
+    assert padded[0, 5:].sum() == 0
+
+
+def test_edit_distance():
+    assert edit_distance("kitten", "sitting") == 3
+    assert edit_distance([1, 2, 3], [1, 3]) == 1
+    assert edit_distance("", "ab") == 2
+
+
+def test_align_ops():
+    c, s, d, i = align_ops(list("kitten"), list("sitting"))
+    assert (s, d, i) == (2, 0, 1) and c == 4
+
+
+def test_error_calculator():
+    tl = ["<blank>", "<unk>", "A", "B", "<space>", "<sos/eos>"]
+    ec = ErrorCalculator(tl, space_symbol="<space>")
+    refs = [[2, 3]]  # "AB"
+    hyps = [[2, 2]]  # "AA"
+    assert ec.cer(refs, hyps) == 0.5
+    assert ec.wer(refs, hyps) == 1.0
