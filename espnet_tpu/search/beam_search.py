@@ -1,0 +1,292 @@
+"""Batched, jittable joint CTC/attention beam search.
+
+Redesign of the reference's BeamSearch/BatchBeamSearch
+(espnet/nets/pytorch_backend/beam_search.py:36, batch_beam_search.py:31)
+for XLA: fixed beam width, static yseq buffers, an alive/finished
+double-beam (the TPU-standard formulation), one batched score call per
+step for all hypotheses, pre-beam top-K gating of the CTC partial scorer
+(:303-310), and state reindexing by gather after pruning. The whole
+search runs as a single lax.while_loop under jit — usable on device,
+inside pjit, and across hosts with sharded batches.
+
+Scorer protocol (≙ ScorerInterface/BatchScorerInterface
+scorer_interface.py:11,85): a FullScorer owns
+    init(memory, memory_lens) -> state            (leading dim N = B*W)
+    score(state, yseq, pos)  -> (logp (N, V), new_state)
+States are pytrees; pruning gathers them by flat hypothesis index.
+The CTC prefix scorer (PartialScorer) is handled natively via
+espnet_tpu.search.ctc_prefix.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from espnet_tpu.search.ctc_prefix import (
+    CTCPrefixState,
+    ctc_prefix_init,
+    ctc_prefix_score,
+    ctc_prefix_select,
+)
+
+NEG_INF = -1.0e10
+
+
+@dataclasses.dataclass
+class FullScorer:
+    """A label-synchronous scorer producing (N, V) log-probs per step."""
+
+    weight: float
+    init: Callable[[jnp.ndarray, jnp.ndarray], Any]
+    score: Callable[[Any, jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, Any]]
+
+
+class BeamState(NamedTuple):
+    step: jnp.ndarray
+    yseq: jnp.ndarray            # (B, W, L)
+    ylen: jnp.ndarray            # (B, W)
+    scores: jnp.ndarray          # (B, W) accumulated weighted scores
+    scorer_states: Dict[str, Any]
+    ctc_state: Optional[CTCPrefixState]
+    fin_yseq: jnp.ndarray        # (B, W, L)
+    fin_ylen: jnp.ndarray
+    fin_scores: jnp.ndarray      # (B, W)
+
+
+def _gather_tree(tree: Any, idx: jnp.ndarray) -> Any:
+    return jax.tree_util.tree_map(lambda x: x[idx], tree)
+
+
+class BeamSearch:
+    def __init__(
+        self,
+        full_scorers: Dict[str, FullScorer],
+        vocab_size: int,
+        sos: int,
+        eos: int,
+        beam_size: int = 10,
+        ctc_weight: float = 0.0,
+        pre_beam_size: Optional[int] = None,
+        length_bonus: float = 0.0,
+        blank: int = 0,
+    ):
+        self.full_scorers = full_scorers
+        self.vocab_size = vocab_size
+        self.sos = sos
+        self.eos = eos
+        self.beam = beam_size
+        self.ctc_weight = ctc_weight
+        self.pre_beam = min(
+            pre_beam_size or int(1.5 * beam_size), vocab_size
+        )
+        self.length_bonus = length_bonus
+        self.blank = blank
+
+    # -- main entry ----------------------------------------------------
+    def __call__(
+        self,
+        memory: jnp.ndarray,       # (B, T, D) encoder output
+        memory_lens: jnp.ndarray,  # (B,)
+        ctc_logp: Optional[jnp.ndarray] = None,  # (B, T, V)
+        maxlen: Optional[int] = None,
+        minlen: int = 0,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Run search. Returns (yseq (B, W, L), ylens (B, W), scores (B, W))
+        sorted best-first, eos-terminated, sos at position 0."""
+        b, t_enc, _ = memory.shape
+        w = self.beam
+        n = b * w
+        if maxlen is None:
+            maxlen = t_enc
+        l = maxlen + 2  # sos + tokens + eos
+
+        # tile memory to (N, T, D)
+        mem_t = jnp.repeat(memory, w, axis=0)
+        mem_lens_t = jnp.repeat(memory_lens, w, axis=0)
+
+        scorer_states = {
+            k: s.init(mem_t, mem_lens_t) for k, s in self.full_scorers.items()
+        }
+        ctc_state = None
+        ctc_logp_t = None
+        ctc_lens_t = None
+        if ctc_logp is not None and self.ctc_weight > 0:
+            ctc_logp_t = jnp.repeat(ctc_logp, w, axis=0)
+            ctc_lens_t = mem_lens_t
+            ctc_state = ctc_prefix_init(ctc_logp_t, ctc_lens_t, self.blank)
+
+        yseq = jnp.full((b, w, l), self.eos, dtype=jnp.int32)
+        yseq = yseq.at[:, :, 0].set(self.sos)
+        # only beam 0 is live initially (identical hyps would duplicate)
+        init_scores = jnp.full((b, w), NEG_INF)
+        init_scores = init_scores.at[:, 0].set(0.0)
+
+        state = BeamState(
+            step=jnp.zeros((), jnp.int32),
+            yseq=yseq,
+            ylen=jnp.ones((b, w), jnp.int32),
+            scores=init_scores,
+            scorer_states=scorer_states,
+            ctc_state=ctc_state,
+            fin_yseq=yseq,
+            fin_ylen=jnp.ones((b, w), jnp.int32),
+            fin_scores=jnp.full((b, w), NEG_INF),
+        )
+
+        def cond(st: BeamState):
+            # continue while under maxlen (+1 final eos-only harvest step)
+            # and some alive hyp could still beat the worst finished one
+            alive_best = st.scores.max(axis=1)
+            fin_worst = st.fin_scores.min(axis=1)
+            improvable = (alive_best + self.length_bonus * maxlen >= fin_worst).any()
+            return (st.step < maxlen + 1) & improvable
+
+        def body(st: BeamState):
+            return self._step(
+                st, mem_t, mem_lens_t, ctc_logp_t, ctc_lens_t, b, w, l, minlen, maxlen
+            )
+
+        state = jax.lax.while_loop(cond, body, state)
+
+        # merge any still-alive hyps as forcibly-ended candidates
+        state = self._finalize(state, b, w, l)
+        order = jnp.argsort(-state.fin_scores, axis=1)
+        fin_yseq = jnp.take_along_axis(state.fin_yseq, order[..., None], axis=1)
+        fin_ylen = jnp.take_along_axis(state.fin_ylen, order, axis=1)
+        fin_scores = jnp.take_along_axis(state.fin_scores, order, axis=1)
+        return fin_yseq, fin_ylen, fin_scores
+
+    # -- one step ------------------------------------------------------
+    def _step(self, st, mem_t, mem_lens_t, ctc_logp_t, ctc_lens_t, b, w, l, minlen, maxlen):
+        n = b * w
+        v = self.vocab_size
+        yseq_flat = st.yseq.reshape(n, l)
+        pos = st.ylen.reshape(n) - 1  # index of last token
+
+        # 1. full scorers — one batched call each
+        weighted = jnp.zeros((n, v))
+        new_scorer_states = {}
+        for name, scorer in self.full_scorers.items():
+            logp, new_s = scorer.score(st.scorer_states[name], yseq_flat, pos)
+            weighted = weighted + scorer.weight * logp
+            new_scorer_states[name] = new_s
+        weighted = weighted + self.length_bonus  # token insertion bonus
+
+        # blank never proposed in attention beam
+        weighted = weighted.at[:, self.blank].set(NEG_INF)
+
+        # 2. pre-beam top-K gates the CTC partial scorer
+        k = self.pre_beam
+        pre_scores, cand_ids = jax.lax.top_k(weighted, k)  # (N, K)
+
+        total_cand = st.scores.reshape(n)[:, None] + pre_scores
+        new_ctc_cand = None
+        if st.ctc_state is not None:
+            ctc_sc, new_ctc_cand = ctc_prefix_score(
+                st.ctc_state, ctc_logp_t, ctc_lens_t, cand_ids, self.eos, self.blank
+            )
+            total_cand = total_cand + self.ctc_weight * ctc_sc
+
+        # 3. mask: dead beams propose nothing; eos before minlen forbidden
+        alive = st.scores.reshape(n) > NEG_INF / 2
+        total_cand = jnp.where(alive[:, None], total_cand, NEG_INF)
+        is_eos = cand_ids == self.eos
+        too_short = (st.ylen.reshape(n) - 1) < minlen
+        total_cand = jnp.where(is_eos & too_short[:, None], NEG_INF, total_cand)
+        # hyps at maxlen may only propose eos (final harvest step)
+        at_max = (st.ylen.reshape(n) - 1) >= maxlen
+        total_cand = jnp.where(at_max[:, None] & ~is_eos, NEG_INF, total_cand)
+
+        cand_b = total_cand.reshape(b, w * k)
+        ids_b = cand_ids.reshape(b, w * k)
+        eos_b = is_eos.reshape(b, w * k)
+
+        # 4. finished pool: eos candidates merge with existing finished
+        fin_cand = jnp.where(eos_b, cand_b, NEG_INF)  # (B, W*K)
+        all_fin_scores = jnp.concatenate([st.fin_scores, fin_cand], axis=1)
+        # yseq of a finishing hyp = current yseq + eos at pos+1
+        hyp_of_cand = jnp.arange(w * k) // k  # (W*K,) local hyp index
+        fin_top, fin_idx = jax.lax.top_k(all_fin_scores, w)  # (B, W)
+        from_old = fin_idx < w
+
+        def pick_fin(old, new_src):
+            return jnp.where(from_old[..., None], old, new_src)
+
+        cand_hyp = hyp_of_cand[jnp.clip(fin_idx - w, 0, w * k - 1)]  # (B, W)
+        cand_yseq = jnp.take_along_axis(
+            st.yseq, cand_hyp[..., None], axis=1
+        )  # (B, W, L)
+        cand_len = jnp.take_along_axis(st.ylen, cand_hyp, axis=1)  # (B, W)
+        # append eos at position cand_len
+        app = jax.nn.one_hot(cand_len, l, dtype=jnp.bool_)
+        cand_yseq = jnp.where(app, self.eos, cand_yseq)
+        old_fin_yseq = st.fin_yseq
+        fin_yseq = pick_fin(
+            jnp.take_along_axis(old_fin_yseq, jnp.clip(fin_idx, 0, w - 1)[..., None], axis=1),
+            cand_yseq,
+        )
+        fin_ylen = jnp.where(
+            from_old,
+            jnp.take_along_axis(st.fin_ylen, jnp.clip(fin_idx, 0, w - 1), axis=1),
+            cand_len + 1,
+        )
+
+        # 5. alive beam: non-eos candidates compete for W slots
+        alive_cand = jnp.where(eos_b, NEG_INF, cand_b)
+        alive_top, alive_idx = jax.lax.top_k(alive_cand, w)  # (B, W)
+        sel_hyp = hyp_of_cand[alive_idx]                      # (B, W) local
+        sel_tok = jnp.take_along_axis(ids_b, alive_idx, axis=1)
+
+        new_yseq = jnp.take_along_axis(st.yseq, sel_hyp[..., None], axis=1)
+        new_ylen = jnp.take_along_axis(st.ylen, sel_hyp, axis=1)
+        app = jax.nn.one_hot(new_ylen, l, dtype=jnp.bool_)
+        new_yseq = jnp.where(app, sel_tok[..., None], new_yseq)
+        new_ylen = new_ylen + 1
+
+        # flat gather index for scorer states
+        flat_hyp = (jnp.arange(b)[:, None] * w + sel_hyp).reshape(-1)  # (N,)
+        new_scorer_states = {
+            name: _gather_tree(s, flat_hyp)
+            for name, s in new_scorer_states.items()
+        }
+        new_ctc_state = None
+        if new_ctc_cand is not None:
+            sel_cand_flat = (alive_idx % k).reshape(-1)  # (N,) candidate slot
+            new_ctc_state = ctc_prefix_select(
+                new_ctc_cand, flat_hyp, sel_cand_flat
+            )
+
+        return BeamState(
+            step=st.step + 1,
+            yseq=new_yseq,
+            ylen=new_ylen,
+            scores=alive_top,
+            scorer_states=new_scorer_states,
+            ctc_state=new_ctc_state,
+            fin_yseq=fin_yseq,
+            fin_ylen=fin_ylen,
+            fin_scores=fin_top,
+        )
+
+    def _finalize(self, st: BeamState, b, w, l) -> BeamState:
+        """Fallback: if a batch entry has NO finished hypothesis (all eos
+        proposals lost), force-close its alive hyps. Entries with finished
+        hyps are untouched — forced closes lack the eos score and must not
+        outrank proper finishes."""
+        app = jax.nn.one_hot(st.ylen, l, dtype=jnp.bool_)
+        closed_yseq = jnp.where(app, self.eos, st.yseq)
+        closed_len = st.ylen + 1
+        has_fin = (st.fin_scores > NEG_INF / 2).any(axis=1, keepdims=True)
+        forced_scores = jnp.where(has_fin, NEG_INF, st.scores)
+        all_scores = jnp.concatenate([st.fin_scores, forced_scores], axis=1)
+        all_yseq = jnp.concatenate([st.fin_yseq, closed_yseq], axis=1)
+        all_len = jnp.concatenate([st.fin_ylen, closed_len], axis=1)
+        top, idx = jax.lax.top_k(all_scores, w)
+        return st._replace(
+            fin_scores=top,
+            fin_yseq=jnp.take_along_axis(all_yseq, idx[..., None], axis=1),
+            fin_ylen=jnp.take_along_axis(all_len, idx, axis=1),
+        )

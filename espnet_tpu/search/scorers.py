@@ -1,0 +1,96 @@
+"""Scorer adapters binding model params to the BeamSearch FullScorer
+protocol (≙ reference scorers/: decoder, LM fusion, length bonus;
+scorer_interface.py contract).
+
+Each builder returns a FullScorer whose closures capture the bound
+variables; per-utterance tensors (tiled encoder memory) are stashed by
+init() and shared across steps without living in the pruned state.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from espnet_tpu.search.beam_search import FullScorer
+from espnet_tpu.utils.masks import make_non_pad_mask
+
+
+def transformer_decoder_scorer(decoder, variables, weight: float) -> FullScorer:
+    """Stateless: re-runs the causal decoder over the static prefix buffer
+    (one batched matmul stack per step — MXU-friendly)."""
+    cache: Dict[str, Any] = {}
+
+    def init(mem, mem_lens):
+        cache["mem"], cache["lens"] = mem, mem_lens
+        return ()
+
+    def score(state, yseq, pos):
+        logp = decoder.apply(
+            variables, cache["mem"], cache["lens"], yseq, pos, method="score_prefix"
+        )
+        return logp, state
+
+    return FullScorer(weight, init, score)
+
+
+def rnn_decoder_scorer(decoder, variables, weight: float) -> FullScorer:
+    """Stateful: LSTM carries + location-attention weights as beam state."""
+    cache: Dict[str, Any] = {}
+
+    def init(mem, mem_lens):
+        cache["mem"], cache["lens"] = mem, mem_lens
+        n, t, _ = mem.shape
+        cache["mask"] = make_non_pad_mask(mem_lens, t)
+        cache["enc_proj"] = decoder.apply(
+            variables, mem, method=lambda m, x: m.step.att.pre_compute(x)
+        )
+        dunits = decoder.dunits
+        states = tuple(
+            (jnp.zeros((n, dunits)), jnp.zeros((n, dunits)))
+            for _ in range(decoder.dlayers)
+        )
+        att_prev = cache["mask"].astype(mem.dtype) / jnp.maximum(
+            mem_lens[:, None], 1
+        ).astype(mem.dtype)
+        return (states, att_prev)
+
+    def score(state, yseq, pos):
+        token = jnp.take_along_axis(yseq, pos[:, None], axis=1)[:, 0]
+        (new_carry, (logits, _)) = decoder.apply(
+            variables,
+            state,
+            token,
+            cache["mem"],
+            cache["enc_proj"],
+            cache["mask"],
+            method="score_step",
+        )
+        return jax.nn.log_softmax(logits, axis=-1), new_carry
+
+    return FullScorer(weight, init, score)
+
+
+def transformer_lm_scorer(lm, variables, weight: float) -> FullScorer:
+    def init(mem, mem_lens):
+        return ()
+
+    def score(state, yseq, pos):
+        logp = lm.apply(variables, yseq, pos, method="score_prefix")
+        return logp, state
+
+    return FullScorer(weight, init, score)
+
+
+def rnn_lm_scorer(lm, variables, weight: float) -> FullScorer:
+    def init(mem, mem_lens):
+        n = mem.shape[0]
+        return lm.apply(variables, n, method="init_carry")
+
+    def score(state, yseq, pos):
+        token = jnp.take_along_axis(yseq, pos[:, None], axis=1)[:, 0]
+        new_carry, logits = lm.apply(variables, state, token, method="step")
+        return jax.nn.log_softmax(logits, axis=-1), new_carry
+
+    return FullScorer(weight, init, score)
