@@ -1,0 +1,149 @@
+"""ASR inference: Speech2Text (reference: espnet2/bin/asr_inference.py:37).
+
+Builds the scorer set {attention decoder, CTC, LM, length bonus} from a
+trained model, runs the batched jittable beam search (or greedy CTC),
+and converts ids → tokens → text.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from espnet_tpu.search.beam_search import BeamSearch
+from espnet_tpu.search.greedy import ctc_greedy_decode_host
+from espnet_tpu.search.scorers import (
+    rnn_decoder_scorer,
+    rnn_lm_scorer,
+    transformer_decoder_scorer,
+    transformer_lm_scorer,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class Speech2Text:
+    """model + params → callable: speech batch → n-best texts."""
+
+    def __init__(
+        self,
+        model,
+        variables,
+        token_list: List[str],
+        decoder=None,
+        beam_size: int = 10,
+        ctc_weight: float = 0.3,
+        lm=None,
+        lm_variables=None,
+        lm_weight: float = 0.0,
+        penalty: float = 0.0,
+        maxlenratio: float = 0.0,
+        minlenratio: float = 0.0,
+        nbest: int = 1,
+        space_symbol: str = "<space>",
+    ):
+        self.model = model
+        self.variables = variables
+        self.token_list = token_list
+        self.nbest = nbest
+        self.beam_size = beam_size
+        self.ctc_weight = ctc_weight
+        self.maxlenratio = maxlenratio
+        self.minlenratio = minlenratio
+        self.space = space_symbol
+        vocab = model.vocab_size
+        self.sos = self.eos = vocab - 1
+
+        scorers = {}
+        dec = decoder if decoder is not None else model.decoder
+        if dec is not None and ctc_weight < 1.0:
+            dec_vars = {"params": variables["params"]["decoder"]}
+            from espnet_tpu.models.asr.rnn_decoder import RNNDecoder
+
+            if isinstance(dec, RNNDecoder):
+                scorers["decoder"] = rnn_decoder_scorer(dec, dec_vars, 1.0 - ctc_weight)
+            else:
+                scorers["decoder"] = transformer_decoder_scorer(
+                    dec, dec_vars, 1.0 - ctc_weight
+                )
+        if lm is not None and lm_weight > 0:
+            from espnet_tpu.models.lm.models import SequentialRNNLM
+
+            if isinstance(lm, SequentialRNNLM):
+                scorers["lm"] = rnn_lm_scorer(lm, lm_variables, lm_weight)
+            else:
+                scorers["lm"] = transformer_lm_scorer(lm, lm_variables, lm_weight)
+
+        self.pure_ctc = not scorers
+        if not self.pure_ctc:
+            self.beam_search = BeamSearch(
+                scorers,
+                vocab_size=vocab,
+                sos=self.sos,
+                eos=self.eos,
+                beam_size=beam_size,
+                ctc_weight=ctc_weight,
+                length_bonus=penalty,
+            )
+        self._encode = jax.jit(
+            lambda speech, lens: model.apply(
+                variables, speech, lens, method="encode"
+            )
+        )
+        self._ctc_logp = jax.jit(
+            lambda hs: model.apply(variables, hs, method="ctc_log_softmax")
+        )
+
+    def __call__(
+        self, speech: np.ndarray, lengths: Optional[np.ndarray] = None
+    ) -> List[List[Tuple[str, List[str], List[int], float]]]:
+        """speech: (B, ...) raw wave or features. Returns per-utterance
+        n-best list of (text, tokens, token_ids, score)."""
+        speech = jnp.asarray(speech)
+        if lengths is None:
+            lengths = np.full(speech.shape[0], speech.shape[1], dtype=np.int32)
+        lengths = jnp.asarray(lengths)
+        hs, hlens = self._encode(speech, lengths)
+
+        if self.pure_ctc:
+            logp = self._ctc_logp(hs)
+            hyps = ctc_greedy_decode_host(np.asarray(logp), np.asarray(hlens))
+            return [
+                [self._ids_to_result(h, 0.0)] for h in hyps
+            ]
+
+        ctc_logp = self._ctc_logp(hs) if self.ctc_weight > 0 else None
+        t_enc = int(np.asarray(hlens).max())
+        maxlen = (
+            max(1, int(self.maxlenratio * t_enc)) if self.maxlenratio > 0 else t_enc
+        )
+        minlen = int(self.minlenratio * t_enc)
+        yseq, ylen, scores = self.beam_search(
+            hs, hlens, ctc_logp=ctc_logp, maxlen=maxlen, minlen=minlen
+        )
+        yseq, ylen, scores = map(np.asarray, (yseq, ylen, scores))
+        results = []
+        for b in range(yseq.shape[0]):
+            nb = []
+            for k in range(min(self.nbest, yseq.shape[1])):
+                ids = [int(x) for x in yseq[b, k, 1: ylen[b, k] - 1]]
+                nb.append(self._ids_to_result(ids, float(scores[b, k])))
+            results.append(nb)
+        return results
+
+    def _ids_to_result(self, ids: Sequence[int], score: float):
+        tokens = [
+            self.token_list[i]
+            for i in ids
+            if 0 <= i < len(self.token_list)
+        ]
+        text = "".join(" " if t == self.space else t for t in tokens)
+        if any("▁" in t for t in tokens):  # bpe word mark
+            text = "".join(tokens).replace("▁", " ").strip()
+        return (text, tokens, list(ids), score)

@@ -1,0 +1,113 @@
+"""CLI: ASR decoding + scoring (reference: espnet2/bin/asr_inference.py
+main + utils/score_sclite.sh).
+
+Decodes a dataset with beam search (or greedy CTC), writes hypotheses and
+an sclite-style result report with corpus WER/CER.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--data", action="append", default=[],
+                        help="path,name,type triplet (speech source)")
+    parser.add_argument("--text", default=None, help="reference text scp")
+    parser.add_argument("--config", required=True, help="train config.yaml")
+    parser.add_argument("--ckpt", required=True)
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--beam_size", type=int, default=10)
+    parser.add_argument("--ctc_weight", type=float, default=0.3)
+    parser.add_argument("--penalty", type=float, default=0.0)
+    parser.add_argument("--maxlenratio", type=float, default=0.0)
+    parser.add_argument("--minlenratio", type=float, default=0.0)
+    parser.add_argument("--nbest", type=int, default=1)
+    parser.add_argument("--batch_size", type=int, default=1)
+    parser.add_argument("--lm_config", default=None)
+    parser.add_argument("--lm_ckpt", default=None)
+    parser.add_argument("--lm_weight", type=float, default=0.0)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    from espnet_tpu.bin.asr_inference import Speech2Text
+    from espnet_tpu.data.dataset import ESPnetDataset, common_collate
+    from espnet_tpu.data.kaldi_io import read_scp
+    from espnet_tpu.tasks.asr import build_model_from_file
+    from espnet_tpu.utils.metrics import ErrorCalculator, sclite_report
+
+    model, variables, token_list = build_model_from_file(args.config, args.ckpt)
+
+    lm = lm_vars = None
+    if args.lm_config and args.lm_ckpt:
+        from espnet_tpu.tasks.lm import build_model_from_file as lm_bmff
+
+        lm, lm_vars, _ = lm_bmff(args.lm_config, args.lm_ckpt)
+
+    s2t = Speech2Text(
+        model,
+        variables,
+        token_list,
+        beam_size=args.beam_size,
+        ctc_weight=args.ctc_weight,
+        penalty=args.penalty,
+        maxlenratio=args.maxlenratio,
+        minlenratio=args.minlenratio,
+        nbest=args.nbest,
+        lm=lm,
+        lm_variables=lm_vars,
+        lm_weight=args.lm_weight,
+    )
+
+    data = [tuple(s.split(",")) for s in args.data]
+    ds = ESPnetDataset(data)
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    hyps = {}
+    keys = ds.keys
+    for i in range(0, len(keys), args.batch_size):
+        kb = keys[i: i + args.batch_size]
+        samples = [ds[k] for k in kb]
+        batch = common_collate(samples)
+        results = s2t(batch["speech"], batch["speech_lengths"])
+        for k, nb in zip(kb, results):
+            hyps[k] = nb[0][0]
+            logging.info("%s: %s", k, nb[0][0])
+
+    with open(out / "text", "w") as f:
+        for k, v in hyps.items():
+            f.write(f"{k} {v}\n")
+
+    if args.text:
+        refs = read_scp(args.text)
+        word_pairs = {
+            k: (refs[k].split(), hyps[k].split()) for k in hyps if k in refs
+        }
+        char_pairs = {
+            k: (list(refs[k].replace(" ", "")), list(hyps[k].replace(" ", "")))
+            for k in hyps
+            if k in refs
+        }
+        (out / "result.wrd.txt").write_text(sclite_report(word_pairs))
+        (out / "result.txt").write_text(sclite_report(char_pairs))
+        n_w = sum(len(r) for r, _ in word_pairs.values())
+        n_c = sum(len(r) for r, _ in char_pairs.values())
+        from espnet_tpu.utils.metrics import edit_distance
+
+        wer = sum(edit_distance(r, h) for r, h in word_pairs.values()) / max(n_w, 1)
+        cer = sum(edit_distance(r, h) for r, h in char_pairs.values()) / max(n_c, 1)
+        summary = {"wer": wer, "cer": cer, "num_utts": len(word_pairs)}
+        (out / "summary.json").write_text(json.dumps(summary))
+        logging.info("WER=%.2f%% CER=%.2f%%", wer * 100, cer * 100)
+        return summary
+
+
+if __name__ == "__main__":
+    main()

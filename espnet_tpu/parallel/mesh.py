@@ -38,10 +38,18 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
-    """Shard every leaf's leading (batch) dim over `axis`."""
+    """Shard every leaf's leading (batch) dim over `axis`.
+
+    Leaves whose batch dim is not divisible by the axis size (short last
+    batches) are replicated instead — correctness first, the cost is one
+    stray small batch per epoch."""
+    n = mesh.shape[axis]
 
     def put(x):
-        spec = P(axis, *([None] * (np.ndim(x) - 1)))
+        if np.ndim(x) >= 1 and np.shape(x)[0] % n == 0:
+            spec = P(axis, *([None] * (np.ndim(x) - 1)))
+        else:
+            spec = P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(put, batch)

@@ -1,0 +1,361 @@
+"""ASR task: config → model/data/optimizer → collect-stats → train.
+
+Re-design of espnet2 AbsTask/ASRTask (tasks/abs_task.py:181,
+tasks/asr.py:103): same class-choices composition (encoder/decoder/
+frontend/normalize selected by name with per-component conf dicts), same
+stages (collect_stats → train), functional core.
+"""
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from espnet_tpu.data.dataset import (
+    CommonPreprocessor,
+    ESPnetDataset,
+    SequenceIterFactory,
+    common_collate,
+)
+from espnet_tpu.data.kaldi_io import read_scp
+from espnet_tpu.models.asr import (
+    ASRModel,
+    ConformerEncoder,
+    RNNDecoder,
+    RNNEncoder,
+    TransformerDecoder,
+    TransformerEncoder,
+)
+from espnet_tpu.models.asr.frontend import DefaultFrontend, GlobalMVN, UtteranceMVN
+from espnet_tpu.text.tokenizers import TokenIDConverter, build_tokenizer
+from espnet_tpu.train.optimizers import build_optimizer
+from espnet_tpu.train.schedulers import noam_schedule, warmup_lr_schedule
+from espnet_tpu.train.trainer import Trainer
+from espnet_tpu.utils.config import load_yaml, save_yaml
+
+logger = logging.getLogger(__name__)
+
+ENCODERS = {
+    "transformer": TransformerEncoder,
+    "conformer": ConformerEncoder,
+    "rnn": RNNEncoder,
+}
+DECODERS = {
+    "transformer": TransformerDecoder,
+    "rnn": RNNDecoder,
+}
+
+DEFAULT_CONFIG: Dict[str, Any] = {
+    "token_list": None,
+    "input_size": 80,
+    "frontend": None,            # none | default
+    "frontend_conf": {},
+    "normalize": None,           # none | global_mvn | utterance_mvn
+    "normalize_conf": {},
+    "specaug": False,
+    "specaug_conf": {},
+    "encoder": "transformer",
+    "encoder_conf": {},
+    "decoder": "transformer",
+    "decoder_conf": {},
+    "model_conf": {"ctc_weight": 0.5, "lsm_weight": 0.0},
+    "optim": "adam",
+    "optim_conf": {"lr": 1e-3},
+    "scheduler": None,           # none | noam | warmuplr
+    "scheduler_conf": {},
+    "grad_clip": 5.0,
+    "accum_grad": 1,
+    "max_epoch": 10,
+    "patience": None,
+    "keep_nbest": 5,
+    "best_key": "loss",
+    "batch_size": 16,
+    "batch_bins": None,
+    "batch_mode": "seq",
+    "sortagrad": False,
+    "seed": 0,
+    "token_type": "char",
+    "bpemodel": None,
+    "log_interval": 50,
+}
+
+
+def build_model(config: Dict[str, Any], vocab_size: int) -> ASRModel:
+    enc_cls = ENCODERS[config["encoder"]]
+    enc = enc_cls(**config.get("encoder_conf", {}))
+    model_conf = dict(config.get("model_conf", {}))
+    dec = None
+    if model_conf.get("ctc_weight", 0.5) < 1.0 and config.get("decoder"):
+        dec_cls = DECODERS[config["decoder"]]
+        dec = dec_cls(vocab_size, **config.get("decoder_conf", {}))
+    frontend = None
+    if config.get("frontend") == "default":
+        frontend = DefaultFrontend(**config.get("frontend_conf", {}))
+    normalize = None
+    if config.get("normalize") == "global_mvn":
+        feat_dim = (
+            config.get("frontend_conf", {}).get("n_mels", 80)
+            if frontend is not None
+            else config["input_size"]
+        )
+        normalize = GlobalMVN(feat_dim=feat_dim, **config.get("normalize_conf", {}))
+    elif config.get("normalize") == "utterance_mvn":
+        normalize = UtteranceMVN(**config.get("normalize_conf", {}))
+    specaug_conf = tuple(
+        (k, tuple(v) if isinstance(v, list) else v)
+        for k, v in config.get("specaug_conf", {}).items()
+    )
+    return ASRModel(
+        vocab_size=vocab_size,
+        encoder=enc,
+        decoder=dec,
+        frontend=frontend,
+        normalize=normalize,
+        use_specaug=bool(config.get("specaug")),
+        specaug_conf=specaug_conf,
+        **model_conf,
+    )
+
+
+def build_preprocessor(config: Dict[str, Any], token_list: List[str]):
+    tokenizer = build_tokenizer(
+        config.get("token_type", "char"), bpemodel=config.get("bpemodel")
+    )
+    converter = TokenIDConverter(token_list)
+    return CommonPreprocessor(tokenizer, converter)
+
+
+def build_tx(config: Dict[str, Any]):
+    optim_conf = dict(config.get("optim_conf", {}))
+    lr = optim_conf.pop("lr", 1e-3)
+    sched = config.get("scheduler")
+    if sched == "noam":
+        sc = dict(config.get("scheduler_conf", {}))
+        model_size = sc.pop("model_size", None) or config.get(
+            "encoder_conf", {}
+        ).get("attention_dim", 256)
+        lr = noam_schedule(model_size, factor=sc.pop("lr_factor", 10.0), warmup=sc.pop("warmup_steps", 25000))
+        name = "noam"
+    elif sched == "warmuplr":
+        sc = dict(config.get("scheduler_conf", {}))
+        lr = warmup_lr_schedule(lr, warmup=sc.pop("warmup_steps", 25000))
+        name = config.get("optim", "adam")
+    else:
+        name = config.get("optim", "adam")
+    return build_optimizer(
+        name,
+        lr=lr,
+        grad_clip=config.get("grad_clip", 5.0),
+        accum_grad=config.get("accum_grad", 1),
+        **optim_conf,
+    )
+
+
+def read_shape_file(path) -> Dict[str, Tuple[int, ...]]:
+    out = {}
+    for k, v in read_scp(path).items():
+        out[k] = tuple(int(x) for x in v.split(","))
+    return out
+
+
+def write_shape_file(path, shapes: Dict[str, Tuple[int, ...]]):
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for k, v in shapes.items():
+            f.write(f"{k} {','.join(str(x) for x in v)}\n")
+
+
+def collect_stats(
+    config: Dict[str, Any],
+    data: List[Tuple[str, str, str]],
+    output_dir: str,
+    token_list: List[str],
+) -> None:
+    """Pass over the data: shape files + feature mean/var stats
+    (reference: espnet2/main_funcs/collect_stats.py:24)."""
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    pre = build_preprocessor(config, token_list)
+    ds = ESPnetDataset(data, preprocessor=pre)
+    frontend = None
+    if config.get("frontend") == "default":
+        frontend = DefaultFrontend(**config.get("frontend_conf", {}))
+
+    shapes: Dict[str, Dict[str, Tuple[int, ...]]] = {}
+    count = 0
+    ssum = None
+    ssq = None
+    for uid in ds.keys:
+        sample = ds[uid]
+        for name, arr in sample.items():
+            if name == "speech" and frontend is not None:
+                import jax.numpy as jnp
+
+                feats, _ = frontend(jnp.asarray(arr)[None], jnp.array([len(arr)]))
+                arr_f = np.asarray(feats[0])
+            elif name == "speech":
+                arr_f = arr
+            else:
+                arr_f = None
+            if arr_f is not None:
+                if ssum is None:
+                    ssum = np.zeros(arr_f.shape[-1])
+                    ssq = np.zeros(arr_f.shape[-1])
+                ssum += arr_f.sum(axis=0)
+                ssq += (arr_f**2).sum(axis=0)
+                count += arr_f.shape[0]
+                shapes.setdefault("speech", {})[uid] = (
+                    (arr_f.shape[0],) + arr_f.shape[1:]
+                )
+            else:
+                shapes.setdefault(name, {})[uid] = arr.shape
+    for name, shp in shapes.items():
+        write_shape_file(out / f"{name}_shape", shp)
+    if ssum is not None:
+        np.savez(
+            out / "feats_stats.npz", count=count, sum=ssum, sum_square=ssq
+        )
+
+
+def load_feat_stats(stats_path) -> Tuple[np.ndarray, np.ndarray]:
+    d = np.load(stats_path)
+    mean = d["sum"] / d["count"]
+    std = np.sqrt(np.maximum(d["sum_square"] / d["count"] - mean**2, 1e-20))
+    return mean.astype(np.float32), std.astype(np.float32)
+
+
+def train(
+    config: Dict[str, Any],
+    train_data: List[Tuple[str, str, str]],
+    valid_data: List[Tuple[str, str, str]],
+    expdir: str,
+    stats_dir: Optional[str] = None,
+) -> Trainer:
+    """Full training pipeline; returns the Trainer (reporter inside)."""
+    token_list = config["token_list"]
+    if isinstance(token_list, (str, Path)):
+        token_list = [
+            t for t in Path(token_list).read_text().splitlines() if t
+        ]
+    vocab = len(token_list)
+    model = build_model(config, vocab)
+    tx = build_tx(config)
+    pre = build_preprocessor(config, token_list)
+    train_ds = ESPnetDataset(train_data, preprocessor=pre)
+    valid_ds = ESPnetDataset(valid_data, preprocessor=pre)
+
+    # shapes for batching: from stats dir if present, else probe lengths
+    if stats_dir and (Path(stats_dir) / "speech_shape").exists():
+        shapes = read_shape_file(Path(stats_dir) / "speech_shape")
+    else:
+        shapes = {}
+        for uid in train_ds.keys:
+            s = train_ds[uid]
+            arr = s.get("speech")
+            shapes[uid] = arr.shape if arr is not None else (1,)
+
+    train_iter = SequenceIterFactory(
+        train_ds,
+        shapes,
+        batch_size=config.get("batch_size", 16),
+        batch_bins=config.get("batch_bins"),
+        mode=config.get("batch_mode", "seq"),
+        seed=config.get("seed", 0),
+        sortagrad=config.get("sortagrad", False),
+    )
+    valid_shapes = {}
+    for uid in valid_ds.keys:
+        s = valid_ds[uid]
+        arr = s.get("speech")
+        valid_shapes[uid] = arr.shape if arr is not None else (1,)
+    valid_iter = SequenceIterFactory(
+        valid_ds, valid_shapes, batch_size=config.get("batch_size", 16),
+        shuffle=False,
+    )
+
+    trainer = Trainer(
+        model,
+        tx,
+        expdir=expdir,
+        max_epoch=config.get("max_epoch", 10),
+        patience=config.get("patience"),
+        keep_nbest=config.get("keep_nbest", 5),
+        best_key=config.get("best_key", "loss"),
+        log_interval=config.get("log_interval", 50),
+    )
+
+    # init params from one real batch
+    first = next(iter(train_iter(1)))
+    variables = model.init(
+        jax.random.PRNGKey(config.get("seed", 0)),
+        first["speech"],
+        first["speech_lengths"],
+        first["text"],
+        first["text_lengths"],
+    )
+    # install global mvn stats (and persist them next to config.yaml so
+    # build_model_from_file can restore them at decode time)
+    if config.get("normalize") == "global_mvn" and stats_dir:
+        import shutil
+
+        mean, std = load_feat_stats(Path(stats_dir) / "feats_stats.npz")
+        variables = dict(variables)
+        variables["norm_stats"] = {"normalize": {"mean": mean, "std": std}}
+        shutil.copy(
+            Path(stats_dir) / "feats_stats.npz", Path(expdir) / "feats_stats.npz"
+        )
+
+    save_yaml(Path(expdir) / "config.yaml", {**config, "token_list": token_list})
+    state = trainer.init_state(variables, seed=config.get("seed", 0))
+    state = trainer.resume(state)
+    state = trainer.run(state, train_iter, valid_iter)
+    trainer.average_best_params(state)
+    return trainer
+
+
+def build_model_from_file(config_file, ckpt_file):
+    """(config.yaml, ckpt) → (model, variables, token_list)
+    (reference abs_task.py:1709)."""
+    config = load_yaml(config_file)
+    token_list = config["token_list"]
+    vocab = len(token_list)
+    model = build_model(config, vocab)
+    # build variable skeleton with a dummy batch
+    d = config.get("input_size", 80)
+    if config.get("frontend") == "default":
+        dummy = np.zeros((1, 1600), dtype=np.float32)
+        lens = np.array([1600], dtype=np.int32)
+    else:
+        dummy = np.zeros((1, 40, d), dtype=np.float32)
+        lens = np.array([40], dtype=np.int32)
+    ys = np.array([[1]], dtype=np.int32)
+    ylens = np.array([1], dtype=np.int32)
+    variables = model.init(jax.random.PRNGKey(0), dummy, lens, ys, ylens)
+    stats_npz = Path(config_file).parent / "feats_stats.npz"
+    if config.get("normalize") == "global_mvn" and stats_npz.exists():
+        mean, std = load_feat_stats(stats_npz)
+        variables = dict(variables)
+        variables["norm_stats"] = {"normalize": {"mean": mean, "std": std}}
+    from espnet_tpu.train.checkpoint import load_checkpoint
+
+    target = jax.tree_util.tree_map(np.asarray, variables["params"])
+    try:
+        params = load_checkpoint(ckpt_file, target)
+        variables = {**variables, "params": params}
+    except Exception:
+        # ckpt may be a full TrainState; extract params
+        import pickle
+
+        with open(ckpt_file, "rb") as f:
+            sd = pickle.load(f)
+        from flax import serialization
+
+        params = serialization.from_state_dict(target, sd["params"])
+        if "extra_vars" in sd and sd["extra_vars"]:
+            for k, v in sd["extra_vars"].items():
+                variables[k] = v
+        variables = {**variables, "params": params}
+    return model, variables, token_list
