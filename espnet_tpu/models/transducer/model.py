@@ -1,0 +1,143 @@
+"""RNN-T transducer model (reference: espnet/nets/pytorch_backend/
+e2e_asr_transducer.py:43, transducer/joint_network.py:34,
+transducer/rnn_decoder.py).
+
+encoder (any AbsEncoder-style module) × prediction net (LSTM over label
+history) → joint net lin_out(tanh(lin_enc(h) + lin_dec(g))) over the
+(B, T, U+1, V) lattice → scan-based RNN-T loss.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from espnet_tpu.losses.transducer import rnnt_loss
+
+
+class PredictionNet(nn.Module):
+    """Label-history LSTM (blank-started); step() for decoding."""
+
+    vocab_size: int
+    dunits: int = 256
+    dlayers: int = 1
+    embed_dim: Optional[int] = None
+    dropout_rate: float = 0.0
+
+    def setup(self):
+        self.embed = nn.Embed(self.vocab_size, self.embed_dim or self.dunits)
+        self.cells = [nn.LSTMCell(self.dunits) for _ in range(self.dlayers)]
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def init_carry(self, batch: int, dtype=jnp.float32):
+        return tuple(
+            (jnp.zeros((batch, self.dunits), dtype), jnp.zeros((batch, self.dunits), dtype))
+            for _ in range(self.dlayers)
+        )
+
+    def step(self, carry, token):
+        x = self.embed(token)
+        new = []
+        for i, cell in enumerate(self.cells):
+            c, x = cell(carry[i], x)
+            new.append(c)
+        return tuple(new), x
+
+    def __call__(self, labels: jnp.ndarray, deterministic: bool = True):
+        """(B, U) labels → (B, U+1, D): g_0 from <blank> start, then one
+        state per consumed label."""
+        b, u = labels.shape
+        start = jnp.zeros((b, 1), dtype=labels.dtype)  # blank id 0 as start
+        tokens = jnp.concatenate([start, labels.clip(0)], axis=1)  # (B, U+1)
+        carry = self.init_carry(b)
+
+        def body(mdl, carry, tok):
+            return mdl.step(carry, tok)
+
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=1,
+            out_axes=1,
+        )
+        _, g = scan(self, carry, tokens)
+        return self.dropout(g, deterministic=deterministic)
+
+
+class JointNetwork(nn.Module):
+    vocab_size: int
+    joint_dim: int = 256
+    activation: str = "tanh"
+
+    def setup(self):
+        self.lin_enc = nn.Dense(self.joint_dim)
+        self.lin_dec = nn.Dense(self.joint_dim, use_bias=False)
+        self.lin_out = nn.Dense(self.vocab_size)
+
+    def __call__(self, h_enc: jnp.ndarray, h_dec: jnp.ndarray) -> jnp.ndarray:
+        """h_enc (..., 1?, D1) + h_dec (..., D2) broadcast → (..., V)."""
+        act = jnp.tanh if self.activation == "tanh" else nn.relu
+        return self.lin_out(act(self.lin_enc(h_enc) + self.lin_dec(h_dec)))
+
+    def lattice(self, h_enc: jnp.ndarray, g_dec: jnp.ndarray) -> jnp.ndarray:
+        """(B,T,D)×(B,U+1,D) → (B,T,U+1,V) joint logits."""
+        return self(h_enc[:, :, None, :], g_dec[:, None, :, :])
+
+
+class TransducerModel(nn.Module):
+    """Encoder + prediction + joint with scan RNN-T loss."""
+
+    vocab_size: int
+    encoder: nn.Module
+    dunits: int = 256
+    dlayers: int = 1
+    joint_dim: int = 256
+    blank: int = 0
+    aux_ctc_weight: float = 0.0
+
+    def setup(self):
+        self.prediction = PredictionNet(self.vocab_size, self.dunits, self.dlayers)
+        self.joint = JointNetwork(self.vocab_size, self.joint_dim)
+        if self.aux_ctc_weight > 0:
+            from espnet_tpu.models.asr.ctc import CTCHead
+
+            self.ctc = CTCHead(self.vocab_size)
+
+    def encode(self, speech, speech_lengths, deterministic: bool = True):
+        return self.encoder(speech, speech_lengths, deterministic=deterministic)
+
+    def __call__(
+        self,
+        speech: jnp.ndarray,
+        speech_lengths: jnp.ndarray,
+        text: jnp.ndarray,
+        text_lengths: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        hs, hlens = self.encode(speech, speech_lengths, deterministic)
+        g = self.prediction(text, deterministic=deterministic)  # (B, U+1, D)
+        logits = self.joint.lattice(hs, g)  # (B, T, U+1, V)
+        nll = rnnt_loss(logits, text, hlens, text_lengths, blank=self.blank)
+        loss = nll.mean()
+        stats = {"loss": loss, "loss_transducer": loss}
+        if self.aux_ctc_weight > 0:
+            ys = jnp.where(text < 0, 0, text)
+            loss_ctc = self.ctc(hs, hlens, ys, text_lengths, deterministic)
+            loss = loss + self.aux_ctc_weight * loss_ctc
+            stats["loss_ctc"] = loss_ctc
+            stats["loss"] = loss
+        return loss, stats
+
+    # decoding helpers -------------------------------------------------
+    def joint_step(self, h_t: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+        """(N, D_enc) × (N, D_dec) → (N, V) log-probs."""
+        return jax.nn.log_softmax(self.joint(h_t, g), axis=-1)
+
+    def pred_step(self, carry, token):
+        return self.prediction.step(carry, token)
+
+    def pred_init(self, batch: int):
+        return self.prediction.init_carry(batch)

@@ -1,0 +1,136 @@
+"""Transducer decoding (reference: beam_search_transducer.py:34 —
+greedy_search:130, default_beam_search:163).
+
+Greedy is fully jittable: a lax.scan over T frames with a bounded
+inner emit loop (max_symbols per frame). Default beam search runs
+host-side over device-jitted step fns (hypothesis sets are inherently
+ragged; the per-step math still runs on device), mirroring the
+reference's algorithm including prefix recombination.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def transducer_greedy_decode(
+    model,
+    variables,
+    hs: jnp.ndarray,      # (B, T, D) encoder output
+    hlens: jnp.ndarray,
+    max_symbols: int = 3,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy (time-sync, ≤max_symbols emits per frame).
+
+    Returns (ids (B, T*max_symbols) left-packed, lengths (B,))."""
+    b, t, _ = hs.shape
+    blank = model.blank
+
+    carry0 = model.apply(variables, b, method="pred_init")
+    token0 = jnp.zeros((b,), jnp.int32)
+    _, g0 = model.apply(variables, carry0, token0, method="pred_step")
+
+    def frame_step(state, inp):
+        carry, g, emitted = state
+        h_t, tidx = inp  # (B, D), scalar
+        outs = []
+        for _ in range(max_symbols):
+            logp = model.apply(variables, h_t, g, method="joint_step")  # (B,V)
+            tok = jnp.argmax(logp, axis=-1)  # (B,)
+            is_blank = (tok == blank) | (tidx >= hlens)
+            new_carry, new_g = model.apply(variables, carry, tok, method="pred_step")
+            carry = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(is_blank[:, None], o, n), new_carry, carry
+            )
+            g = jnp.where(is_blank[:, None], g, new_g)
+            outs.append(jnp.where(is_blank, blank, tok))
+        return (carry, g, emitted), jnp.stack(outs, axis=1)  # (B, max_symbols)
+
+    (carry, g, _), toks = jax.lax.scan(
+        frame_step,
+        (carry0, g0, jnp.zeros((b,), jnp.int32)),
+        (jnp.transpose(hs, (1, 0, 2)), jnp.arange(t)),
+    )
+    toks = jnp.transpose(toks, (1, 0, 2)).reshape(b, t * max_symbols)
+    keep = toks != blank
+    order = jnp.argsort(~keep, axis=1, stable=True)
+    packed = jnp.take_along_axis(toks, order, axis=1)
+    lens = keep.sum(axis=1)
+    return packed, lens
+
+
+@dataclasses.dataclass
+class _Hyp:
+    score: float
+    yseq: Tuple[int, ...]
+    carry: Any
+    g: np.ndarray
+
+
+def transducer_beam_decode(
+    model,
+    variables,
+    hs: jnp.ndarray,     # (1, T, D) single utterance
+    hlen: int,
+    beam_size: int = 5,
+    score_norm: bool = True,
+) -> List[Tuple[List[int], float]]:
+    """Default beam search (beam_search_transducer.py:163) for one
+    utterance; returns n-best (ids, score)."""
+    blank = model.blank
+    joint = jax.jit(lambda h, g: model.apply(variables, h, g, method="joint_step"))
+    pred = jax.jit(lambda c, t: model.apply(variables, c, t, method="pred_step"))
+
+    carry0 = model.apply(variables, 1, method="pred_init")
+    _, g0 = pred(carry0, jnp.zeros((1,), jnp.int32))
+    kept = [_Hyp(0.0, (), carry0, g0)]
+    beam_k = min(beam_size, model.vocab_size - 1)
+
+    for t in range(int(hlen)):
+        h_t = hs[:, t]  # (1, D)
+        hyps = kept
+        kept = []
+        while len(kept) < beam_size:
+            best = max(hyps, key=lambda h: h.score)
+            hyps = [h for h in hyps if h is not best]
+            logp = np.asarray(joint(h_t, best.g)[0])
+            # blank: hypothesis survives to next frame
+            kept_h = _Hyp(
+                best.score + float(logp[blank]), best.yseq, best.carry, best.g
+            )
+            # prefix recombination: merge identical label sequences
+            merged = False
+            for k in kept:
+                if k.yseq == kept_h.yseq:
+                    k.score = float(np.logaddexp(k.score, kept_h.score))
+                    merged = True
+                    break
+            if not merged:
+                kept.append(kept_h)
+            # top-k non-blank expansions stay in the active set
+            order = np.argsort(-logp)
+            cnt = 0
+            for v in order:
+                if v == blank or cnt >= beam_k:
+                    continue
+                new_carry, new_g = pred(best.carry, jnp.array([v], jnp.int32))
+                hyps.append(
+                    _Hyp(
+                        best.score + float(logp[v]),
+                        best.yseq + (int(v),),
+                        new_carry,
+                        new_g,
+                    )
+                )
+                cnt += 1
+            if not hyps:
+                break
+    if score_norm:
+        kept.sort(key=lambda h: h.score / max(len(h.yseq), 1), reverse=True)
+    else:
+        kept.sort(key=lambda h: h.score, reverse=True)
+    return [(list(h.yseq), h.score) for h in kept]
