@@ -1,0 +1,225 @@
+"""Pallas TPU kernel for the CTC forward-backward recursion.
+
+Replaces the reference's warp-ctc CUDA kernel (tools warp-ctc,
+espnet/nets/pytorch_backend/ctc.py:40). Design:
+
+- Emissions are pre-gathered OUTSIDE the kernel (one XLA gather:
+  (B,T,V) × blank-interleaved labels → (B,T,S), S = 2L+1 padded to the
+  128 lane width) — gathers are what XLA does well; the kernel owns only
+  the sequential T-recursion, keeping the alpha/beta row resident in
+  VMEM with the whole S dimension on the VPU.
+- Grid = batch: one program per utterance.
+- Backward = mirrored beta recursion kernel; dL/d emit = −exp(α+β−logZ),
+  scattered back to (B,T,V) by an XLA scatter-add. Wired via
+  jax.custom_vjp, so training never differentiates through a scan.
+
+Numerics identical to the lax.scan reference (losses/ctc.py); tests
+assert allclose between both paths and torch.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1.0e10
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _logadd2(a, b):
+    m = jnp.maximum(a, b)
+    out = m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m))
+    return jnp.where(m <= NEG_INF / 2, NEG_INF, out)
+
+
+def _alpha_kernel(emit_ref, skip_ref, ilen_ref, alpha_ref, i):
+    """emit (T, S), skip (1, S), ilen SMEM (B,) read at i → alpha (T, S)."""
+    t_max, s = emit_ref.shape
+    skip = skip_ref[0:1, :]  # (1, S)
+    ilen = ilen_ref[i]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+
+    alpha0 = jnp.where(col < 2, emit_ref[0:1, :], NEG_INF)
+    alpha_ref[0:1, :] = alpha0
+
+    def step(t, alpha):
+        emit_t = emit_ref[pl.ds(t, 1), :]
+        a1 = jnp.where(col >= 1, pltpu.roll(alpha, 1, 1), NEG_INF)
+        a2 = jnp.where((col >= 2) & (skip > 0), pltpu.roll(alpha, 2, 1), NEG_INF)
+        new = _logadd2(_logadd2(alpha, a1), a2) + emit_t
+        new = jnp.maximum(new, NEG_INF)
+        new = jnp.where(t < ilen, new, alpha)
+        alpha_ref[pl.ds(t, 1), :] = new
+        return new
+
+    jax.lax.fori_loop(1, t_max, step, alpha0)
+
+
+def _beta_kernel(emit_ref, skip_ref, ilen_ref, llen_ref, beta_ref, i):
+    """beta (T, S): completion log-prob from state s at t, EXCLUDING the
+    emission at t (so α+β−logZ is the state posterior)."""
+    t_max, s = emit_ref.shape
+    skip = skip_ref[0:1, :]
+    ilen = ilen_ref[i]
+    llen = llen_ref[i]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    end_mask = (col == 2 * llen) | ((col == 2 * llen - 1) & (llen > 0))
+    skip_fwd = pltpu.roll(skip, s - 2, 1)  # skip_fwd[s] = skip[s+2]
+
+    def body(i, beta):
+        t = ilen - 1 - i
+
+        def first(beta):
+            return jnp.where(end_mask, 0.0, NEG_INF)
+
+        def later(beta):
+            emit_next = emit_ref[pl.ds(t + 1, 1), :]
+            b = beta + emit_next
+            b1 = jnp.where(col < s - 1, pltpu.roll(b, s - 1, 1), NEG_INF)
+            b2 = jnp.where(
+                (col < s - 2) & (skip_fwd > 0), pltpu.roll(b, s - 2, 1), NEG_INF
+            )
+            return jnp.maximum(_logadd2(_logadd2(b, b1), b2), NEG_INF)
+
+        beta_new = jax.lax.cond(i == 0, first, later, beta)
+        beta_ref[pl.ds(t, 1), :] = beta_new
+        return beta_new
+
+    jax.lax.fori_loop(0, ilen, body, jnp.full((1, s), NEG_INF))
+
+
+def _pad_s(x, s_pad, fill):
+    pad = s_pad - x.shape[-1]
+    if pad <= 0:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)], constant_values=fill)
+
+
+def _prep(log_probs, labels, blank):
+    b, t, v = log_probs.shape
+    l = labels.shape[1]
+    s = 2 * l + 1
+    s_pad = _round_up(s, LANE)
+    labels_c = jnp.where(labels < 0, blank, labels)
+    ext = jnp.full((b, s), blank, dtype=jnp.int32)
+    ext = ext.at[:, 1::2].set(labels_c)
+    ext_shift2 = jnp.pad(ext, ((0, 0), (2, 0)), constant_values=-1)[:, :s]
+    allow_skip = ((ext != blank) & (ext != ext_shift2)).astype(jnp.float32)
+    emit = jnp.take_along_axis(log_probs, ext[:, None, :], axis=2)  # (B,T,S)
+    emit = _pad_s(emit, s_pad, NEG_INF)
+    allow_skip = _pad_s(allow_skip, s_pad, 0.0)
+    return emit, allow_skip, ext, s, s_pad
+
+
+def _run_alpha(emit, allow_skip, input_lengths, interpret=False):
+    b, t, s_pad = emit.shape
+
+    def kernel(emit_r, skip_r, ilen_r, alpha_r):
+        _alpha_kernel(
+            emit_r.at[0], skip_r.at[0], ilen_r, alpha_r.at[0], pl.program_id(0)
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t, s_pad), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, s_pad), lambda i: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, s_pad), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t, s_pad), jnp.float32),
+        interpret=interpret,
+    )(emit, allow_skip[:, None, :], input_lengths.astype(jnp.int32))
+
+
+def _run_beta(emit, allow_skip, input_lengths, label_lengths, interpret=False):
+    b, t, s_pad = emit.shape
+
+    def kernel(emit_r, skip_r, ilen_r, llen_r, beta_r):
+        _beta_kernel(
+            emit_r.at[0], skip_r.at[0], ilen_r, llen_r, beta_r.at[0],
+            pl.program_id(0),
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t, s_pad), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, s_pad), lambda i: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, s_pad), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t, s_pad), jnp.float32),
+        interpret=interpret,
+    )(
+        emit,
+        allow_skip[:, None, :],
+        input_lengths.astype(jnp.int32),
+        label_lengths.astype(jnp.int32),
+    )
+
+
+def _loglik_from_alpha(alpha, input_lengths, label_lengths):
+    ilast = jnp.maximum(input_lengths - 1, 0)[:, None, None]
+    a_fin = jnp.take_along_axis(alpha, ilast, axis=1)[:, 0]  # (B, S)
+    idx = (2 * label_lengths)[:, None]
+    a_last = jnp.take_along_axis(a_fin, idx, axis=1)
+    a_prev = jnp.where(
+        label_lengths[:, None] > 0,
+        jnp.take_along_axis(a_fin, jnp.maximum(idx - 1, 0), axis=1),
+        NEG_INF,
+    )
+    return _logadd2(a_last, a_prev)[:, 0]  # (B,)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def ctc_loss_pallas(
+    log_probs, labels, input_lengths, label_lengths, blank=0, interpret=False
+):
+    """Per-utterance CTC NLL via Pallas kernels (API = losses.ctc.ctc_loss)."""
+    nll, _ = _ctc_fwd(
+        log_probs, labels, input_lengths, label_lengths, blank, interpret
+    )
+    return nll
+
+
+def _ctc_fwd(log_probs, labels, input_lengths, label_lengths, blank, interpret):
+    emit, allow_skip, ext, s, s_pad = _prep(log_probs, labels, blank)
+    alpha = _run_alpha(emit, allow_skip, input_lengths, interpret)
+    ll = _loglik_from_alpha(alpha, input_lengths, label_lengths)
+    residuals = (log_probs, labels, input_lengths, label_lengths, alpha, emit, ll)
+    return -ll, residuals
+
+
+def _ctc_bwd(blank, interpret, residuals, g):
+    log_probs, labels, input_lengths, label_lengths, alpha, emit, ll = residuals
+    b, t, v = log_probs.shape
+    _, allow_skip, ext, s, s_pad = _prep(log_probs, labels, blank)
+    beta = _run_beta(emit, allow_skip, input_lengths, label_lengths, interpret)
+
+    # dL/d emit(t,s) = −exp(α+β−logZ); α includes emit at t, β excludes it
+    gamma = alpha + beta - ll[:, None, None]
+    frame_valid = jnp.arange(t)[None, :, None] < input_lengths[:, None, None]
+    d_emit = -jnp.exp(jnp.minimum(gamma, 0.0))
+    d_emit = jnp.where(frame_valid & (emit > NEG_INF / 2), d_emit, 0.0)
+    d_emit = d_emit[:, :, :s]
+
+    d_lp = jnp.zeros((b, t, v))
+    bidx = jnp.arange(b)[:, None, None]
+    tidx = jnp.arange(t)[None, :, None]
+    d_lp = d_lp.at[bidx, tidx, ext[:, None, :]].add(d_emit)
+    d_lp = d_lp * g[:, None, None]
+    return (d_lp, None, None, None)
+
+
+ctc_loss_pallas.defvjp(_ctc_fwd, _ctc_bwd)

@@ -5,7 +5,10 @@ log_softmax/argmax/forced-align used by decoding and alignment tools.
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from espnet_tpu.losses.ctc import ctc_forced_align, ctc_loss
@@ -14,10 +17,22 @@ from espnet_tpu.losses.ctc import ctc_forced_align, ctc_loss
 class CTCHead(nn.Module):
     vocab_size: int
     dropout_rate: float = 0.0
+    # None = auto: Pallas kernel on TPU, lax.scan elsewhere
+    use_pallas: Optional[bool] = None
 
     def setup(self):
         self.ctc_lo = nn.Dense(self.vocab_size)
         self.dropout = nn.Dropout(self.dropout_rate)
+
+    def _nll(self, logp, ys, hlens, ylens):
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from espnet_tpu.losses.pallas_ctc import ctc_loss_pallas
+
+            return ctc_loss_pallas(logp, ys, hlens, ylens, 0, False)
+        return ctc_loss(logp, ys, hlens, ylens)
 
     def __call__(
         self,
@@ -31,7 +46,7 @@ class CTCHead(nn.Module):
         reduction='sum' ÷ batch)."""
         hs = self.dropout(hs, deterministic=deterministic)
         logp = nn.log_softmax(self.ctc_lo(hs), axis=-1)
-        nll = ctc_loss(logp, ys, hlens, ylens)
+        nll = self._nll(logp, ys, hlens, ylens)
         return nll.sum() / hs.shape[0]
 
     def log_softmax(self, hs: jnp.ndarray) -> jnp.ndarray:
