@@ -25,9 +25,11 @@ def main():
     from espnet_tpu.train.optimizers import build_optimizer
     from espnet_tpu.train.train_state import TrainState, make_train_step
 
+    import jax.numpy as jnp
+
     vocab = 500
     b, t, l = 16, 512, 24
-    model = g._flagship(vocab)
+    model = g._flagship(vocab, dtype=jnp.bfloat16)
     feats, ilens, ys, ylens = g._example_batch(b=b, t=t, d=80, l=l, vocab=vocab)
     variables = model.init(
         jax.random.PRNGKey(0), feats[:1], ilens[:1], ys[:1], ylens[:1]

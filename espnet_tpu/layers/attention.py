@@ -23,14 +23,15 @@ class MultiHeadedAttention(nn.Module):
     n_head: int
     n_feat: int
     dropout_rate: float = 0.0
+    dtype: type = jnp.float32
 
     def setup(self):
         assert self.n_feat % self.n_head == 0
         self.d_k = self.n_feat // self.n_head
-        self.linear_q = nn.Dense(self.n_feat)
-        self.linear_k = nn.Dense(self.n_feat)
-        self.linear_v = nn.Dense(self.n_feat)
-        self.linear_out = nn.Dense(self.n_feat)
+        self.linear_q = nn.Dense(self.n_feat, dtype=self.dtype)
+        self.linear_k = nn.Dense(self.n_feat, dtype=self.dtype)
+        self.linear_v = nn.Dense(self.n_feat, dtype=self.dtype)
+        self.linear_out = nn.Dense(self.n_feat, dtype=self.dtype)
         self.dropout = nn.Dropout(self.dropout_rate)
 
     def qkv(self, query, key, value):
@@ -44,7 +45,8 @@ class MultiHeadedAttention(nn.Module):
         """scores (B,H,Tq,Tk), value (B,Tk,H,Dk) → (B,Tq,n_feat)."""
         if mask is not None:
             scores = jnp.where(mask, scores, MASK_MIN)
-        attn = nn.softmax(scores, axis=-1)
+        # softmax in f32 regardless of compute dtype
+        attn = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
         if mask is not None:
             attn = jnp.where(mask, attn, 0.0)
         attn = self.dropout(attn, deterministic=deterministic)
@@ -92,7 +94,7 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
 
     def setup(self):
         super().setup()
-        self.linear_pos = nn.Dense(self.n_feat, use_bias=False)
+        self.linear_pos = nn.Dense(self.n_feat, use_bias=False, dtype=self.dtype)
         self.pos_bias_u = self.param(
             "pos_bias_u", nn.initializers.xavier_uniform(), (self.n_head, self.d_k)
         )
@@ -114,8 +116,8 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
         n_pos = pos_emb.shape[1]
         p = self.linear_pos(pos_emb).reshape(-1, n_pos, self.n_head, self.d_k)
 
-        q_u = q + self.pos_bias_u[None, None]
-        q_v = q + self.pos_bias_v[None, None]
+        q_u = q + self.pos_bias_u[None, None].astype(q.dtype)
+        q_v = q + self.pos_bias_v[None, None].astype(q.dtype)
         matrix_ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k)
         matrix_bd = jnp.einsum("bqhd,bphd->bhqp", q_v, p)
         matrix_bd = rel_shift(matrix_bd)

@@ -19,6 +19,7 @@ from espnet_tpu.layers.feed_forward import swish
 class ConformerConvModule(nn.Module):
     kernel_size: int = 31
     use_batch_norm: bool = False
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(
@@ -31,7 +32,7 @@ class ConformerConvModule(nn.Module):
         d = x.shape[-1]
         if pad_mask is not None:
             x = x * pad_mask[..., None]
-        h = nn.Conv(2 * d, (1,))(x)
+        h = nn.Conv(2 * d, (1,), dtype=self.dtype)(x)
         h = nn.glu(h, axis=-1)
         if pad_mask is not None:
             h = h * pad_mask[..., None]
@@ -40,13 +41,14 @@ class ConformerConvModule(nn.Module):
             (self.kernel_size,),
             padding="SAME",
             feature_group_count=d,
+            dtype=self.dtype,
         )(h)
         if self.use_batch_norm:
             h = nn.BatchNorm(use_running_average=deterministic)(h)
         else:
             h = nn.GroupNorm(num_groups=1)(h)
         h = swish(h)
-        h = nn.Conv(d, (1,))(h)
+        h = nn.Conv(d, (1,), dtype=self.dtype)(h)
         if pad_mask is not None:
             h = h * pad_mask[..., None]
         return h

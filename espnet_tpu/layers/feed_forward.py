@@ -24,11 +24,12 @@ class PositionwiseFeedForward(nn.Module):
     hidden_units: int
     dropout_rate: float = 0.1
     activation: str = "relu"
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         d_model = x.shape[-1]
-        h = nn.Dense(self.hidden_units)(x)
+        h = nn.Dense(self.hidden_units, dtype=self.dtype)(x)
         h = ACTIVATIONS[self.activation](h)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        return nn.Dense(d_model)(h)
+        return nn.Dense(d_model, dtype=self.dtype)(h)

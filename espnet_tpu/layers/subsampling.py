@@ -30,6 +30,7 @@ class Conv2dSubsampling(nn.Module):
     odim: int
     factor: int = 4  # 4, 6, or 8
     dropout_rate: float = 0.0
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, ilens: jnp.ndarray, deterministic: bool = True):
@@ -46,10 +47,10 @@ class Conv2dSubsampling(nn.Module):
         else:
             raise ValueError(self.factor)
         for kern, stride in zip(kernels, strides):
-            x = nn.Conv(self.odim, kern, strides=stride, padding="VALID")(x)
+            x = nn.Conv(self.odim, kern, strides=stride, padding="VALID", dtype=self.dtype)(x)
             x = nn.relu(x)
         b, t, f, c = x.shape
-        x = nn.Dense(self.odim)(x.reshape(b, t, f * c))
+        x = nn.Dense(self.odim, dtype=self.dtype)(x.reshape(b, t, f * c))
 
         olens = ilens
         for kern, stride in zip(kernels, strides):

@@ -27,6 +27,7 @@ class ConformerEncoderLayer(nn.Module):
     attention_dropout_rate: float = 0.0
     use_macaron: bool = True
     use_cnn: bool = True
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x, pos_emb, attn_mask, pad_mask, deterministic: bool = True):
@@ -37,21 +38,23 @@ class ConformerEncoderLayer(nn.Module):
             residual = x
             x = nn.LayerNorm()(x)
             x = PositionwiseFeedForward(
-                self.linear_units, self.dropout_rate, activation="swish"
+                self.linear_units, self.dropout_rate, activation="swish",
+                dtype=self.dtype,
             )(x, deterministic=deterministic)
             x = residual + ff_scale * drop(x, deterministic=deterministic)
 
         residual = x
         x = nn.LayerNorm()(x)
         x = RelPositionMultiHeadedAttention(
-            self.attention_heads, self.attention_dim, self.attention_dropout_rate
+            self.attention_heads, self.attention_dim, self.attention_dropout_rate,
+            dtype=self.dtype,
         )(x, x, x, pos_emb, attn_mask, deterministic=deterministic)
         x = residual + drop(x, deterministic=deterministic)
 
         if self.use_cnn:
             residual = x
             x = nn.LayerNorm()(x)
-            x = ConformerConvModule(self.cnn_kernel)(
+            x = ConformerConvModule(self.cnn_kernel, dtype=self.dtype)(
                 x, pad_mask, deterministic=deterministic
             )
             x = residual + drop(x, deterministic=deterministic)
@@ -59,7 +62,8 @@ class ConformerEncoderLayer(nn.Module):
         residual = x
         x = nn.LayerNorm()(x)
         x = PositionwiseFeedForward(
-            self.linear_units, self.dropout_rate, activation="swish"
+            self.linear_units, self.dropout_rate, activation="swish",
+            dtype=self.dtype,
         )(x, deterministic=deterministic)
         x = residual + ff_scale * drop(x, deterministic=deterministic)
 
@@ -78,14 +82,15 @@ class ConformerEncoder(nn.Module):
     input_layer: str = "conv2d"
     use_macaron: bool = True
     use_cnn: bool = True
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray, ilens: jnp.ndarray, deterministic: bool = True):
         if self.input_layer in ("conv2d", "conv2d6", "conv2d8"):
             factor = {"conv2d": 4, "conv2d6": 6, "conv2d8": 8}[self.input_layer]
-            xs, olens = Conv2dSubsampling(self.attention_dim, factor)(
-                xs, ilens, deterministic=deterministic
-            )
+            xs, olens = Conv2dSubsampling(
+                self.attention_dim, factor, dtype=self.dtype
+            )(xs.astype(self.dtype), ilens, deterministic=deterministic)
         elif self.input_layer == "linear":
             xs = nn.Dense(self.attention_dim)(xs)
             xs = nn.LayerNorm()(xs)
@@ -107,5 +112,6 @@ class ConformerEncoder(nn.Module):
                 self.attention_dropout_rate,
                 self.use_macaron,
                 self.use_cnn,
+                dtype=self.dtype,
             )(xs, pos_emb, attn_mask, pad_mask, deterministic=deterministic)
-        return xs, olens
+        return xs.astype(jnp.float32), olens

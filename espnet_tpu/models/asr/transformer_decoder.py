@@ -30,6 +30,7 @@ class TransformerDecoderLayer(nn.Module):
     self_attention_dropout_rate: float = 0.0
     src_attention_dropout_rate: float = 0.0
     normalize_before: bool = True
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x, self_mask, memory, memory_mask, deterministic: bool = True):
@@ -39,7 +40,8 @@ class TransformerDecoderLayer(nn.Module):
         if self.normalize_before:
             x = nn.LayerNorm()(x)
         x = MultiHeadedAttention(
-            self.attention_heads, self.attention_dim, self.self_attention_dropout_rate
+            self.attention_heads, self.attention_dim, self.self_attention_dropout_rate,
+            dtype=self.dtype,
         )(x, x, x, self_mask, deterministic=deterministic)
         x = residual + drop(x, deterministic=deterministic)
         if not self.normalize_before:
@@ -49,8 +51,9 @@ class TransformerDecoderLayer(nn.Module):
         if self.normalize_before:
             x = nn.LayerNorm()(x)
         x = MultiHeadedAttention(
-            self.attention_heads, self.attention_dim, self.src_attention_dropout_rate
-        )(x, memory, memory, memory_mask, deterministic=deterministic)
+            self.attention_heads, self.attention_dim, self.src_attention_dropout_rate,
+            dtype=self.dtype,
+        )(x, memory.astype(self.dtype), memory.astype(self.dtype), memory_mask, deterministic=deterministic)
         x = residual + drop(x, deterministic=deterministic)
         if not self.normalize_before:
             x = nn.LayerNorm()(x)
@@ -58,9 +61,9 @@ class TransformerDecoderLayer(nn.Module):
         residual = x
         if self.normalize_before:
             x = nn.LayerNorm()(x)
-        x = PositionwiseFeedForward(self.linear_units, self.dropout_rate)(
-            x, deterministic=deterministic
-        )
+        x = PositionwiseFeedForward(
+            self.linear_units, self.dropout_rate, dtype=self.dtype
+        )(x, deterministic=deterministic)
         x = residual + drop(x, deterministic=deterministic)
         if not self.normalize_before:
             x = nn.LayerNorm()(x)
@@ -78,6 +81,7 @@ class TransformerDecoder(nn.Module):
     self_attention_dropout_rate: float = 0.0
     src_attention_dropout_rate: float = 0.0
     normalize_before: bool = True
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(
@@ -107,10 +111,11 @@ class TransformerDecoder(nn.Module):
                 self.self_attention_dropout_rate,
                 self.src_attention_dropout_rate,
                 self.normalize_before,
+                dtype=self.dtype,
             )(x, self_mask, memory, memory_mask, deterministic=deterministic)
         if self.normalize_before:
             x = nn.LayerNorm()(x)
-        return nn.Dense(self.vocab_size)(x)
+        return nn.Dense(self.vocab_size)(x.astype(jnp.float32))
 
     def score_prefix(
         self,

@@ -25,6 +25,7 @@ class TransformerEncoderLayer(nn.Module):
     dropout_rate: float = 0.1
     attention_dropout_rate: float = 0.0
     normalize_before: bool = True
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
@@ -33,7 +34,8 @@ class TransformerEncoderLayer(nn.Module):
         if self.normalize_before:
             x = nn.LayerNorm()(x)
         x = MultiHeadedAttention(
-            self.attention_heads, self.attention_dim, self.attention_dropout_rate
+            self.attention_heads, self.attention_dim, self.attention_dropout_rate,
+            dtype=self.dtype,
         )(x, x, x, mask, deterministic=deterministic)
         x = residual + drop(x, deterministic=deterministic)
         if not self.normalize_before:
@@ -42,9 +44,9 @@ class TransformerEncoderLayer(nn.Module):
         residual = x
         if self.normalize_before:
             x = nn.LayerNorm()(x)
-        x = PositionwiseFeedForward(self.linear_units, self.dropout_rate)(
-            x, deterministic=deterministic
-        )
+        x = PositionwiseFeedForward(
+            self.linear_units, self.dropout_rate, dtype=self.dtype
+        )(x, deterministic=deterministic)
         x = residual + drop(x, deterministic=deterministic)
         if not self.normalize_before:
             x = nn.LayerNorm()(x)
@@ -61,6 +63,7 @@ class TransformerEncoder(nn.Module):
     attention_dropout_rate: float = 0.0
     input_layer: str = "conv2d"  # conv2d | conv2d6 | conv2d8 | linear | embed
     normalize_before: bool = True
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(
@@ -72,9 +75,9 @@ class TransformerEncoder(nn.Module):
         """(B, T, D) features → (B, T', adim) encoded, with new lengths."""
         if self.input_layer in ("conv2d", "conv2d6", "conv2d8"):
             factor = {"conv2d": 4, "conv2d6": 6, "conv2d8": 8}[self.input_layer]
-            xs, olens = Conv2dSubsampling(self.attention_dim, factor)(
-                xs, ilens, deterministic=deterministic
-            )
+            xs, olens = Conv2dSubsampling(
+                self.attention_dim, factor, dtype=self.dtype
+            )(xs.astype(self.dtype), ilens, deterministic=deterministic)
         elif self.input_layer == "linear":
             xs = nn.Dense(self.attention_dim)(xs)
             xs = nn.LayerNorm()(xs)
@@ -98,7 +101,8 @@ class TransformerEncoder(nn.Module):
                 self.dropout_rate,
                 self.attention_dropout_rate,
                 self.normalize_before,
+                dtype=self.dtype,
             )(xs, mask, deterministic=deterministic)
         if self.normalize_before:
             xs = nn.LayerNorm()(xs)
-        return xs, olens
+        return xs.astype(jnp.float32), olens
