@@ -81,6 +81,7 @@ class TransformerDecoder(nn.Module):
     self_attention_dropout_rate: float = 0.0
     src_attention_dropout_rate: float = 0.0
     normalize_before: bool = True
+    causal: bool = True  # False = CMLM-style bidirectional (Mask-CTC)
     dtype: type = jnp.float32
 
     @nn.compact
@@ -98,7 +99,10 @@ class TransformerDecoder(nn.Module):
         x = PositionalEncoding(self.attention_dim, self.positional_dropout_rate)(
             x, deterministic=deterministic
         )
-        self_mask = subsequent_mask(l)[None, :, :]  # (1, L, L)
+        if self.causal:
+            self_mask = subsequent_mask(l)[None, :, :]  # (1, L, L)
+        else:
+            self_mask = jnp.ones((1, l, l), dtype=bool)
         if ys_in_lens is not None:
             self_mask = self_mask & make_non_pad_mask(ys_in_lens, l)[:, None, :]
         memory_mask = make_non_pad_mask(memory_lens, memory.shape[1])[:, None, :]

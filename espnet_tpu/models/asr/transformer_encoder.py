@@ -63,6 +63,7 @@ class TransformerEncoder(nn.Module):
     attention_dropout_rate: float = 0.0
     input_layer: str = "conv2d"  # conv2d | conv2d6 | conv2d8 | linear | embed
     normalize_before: bool = True
+    vocab_size: int = 0  # required for input_layer == "embed"
     dtype: type = jnp.float32
 
     @nn.compact
@@ -85,7 +86,9 @@ class TransformerEncoder(nn.Module):
             xs = nn.relu(xs)
             olens = ilens
         elif self.input_layer == "embed":
-            xs = nn.Embed(int(xs.max()) + 1, self.attention_dim)(xs)
+            if self.vocab_size <= 0:
+                raise ValueError("vocab_size required for embed input layer")
+            xs = nn.Embed(self.vocab_size, self.attention_dim)(xs)
             olens = ilens
         else:
             raise ValueError(self.input_layer)
