@@ -80,6 +80,9 @@ def make_eval_step(model) -> Callable:
             {"params": state.params, **state.extra_vars},
             **batch,
             deterministic=True,
+            # some modules keep dropout live at eval (e.g. Tacotron2
+            # prenet, reference tacotron2/decoder.py:134) — fixed key
+            rngs={"dropout": jax.random.PRNGKey(0)},
         )
         return dict(stats)
 
