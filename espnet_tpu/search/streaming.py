@@ -1,0 +1,86 @@
+"""Streaming recognition (reference: espnet/nets/pytorch_backend/streaming/
+window.py WindowStreamingE2E:6, segment.py SegmentStreamingE2E:5).
+
+WindowStreaming: re-encode a growing window every `hop` frames and emit
+the incremental greedy-CTC hypothesis.
+SegmentStreaming: buffer frames; when the greedy CTC path ends with
+≥ `blank_dur` blanks after having seen speech, close the segment, decode
+it (beam or greedy), reset the buffer.
+"""
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from espnet_tpu.search.greedy import ctc_greedy_decode_host
+
+
+class WindowStreamingASR:
+    def __init__(self, model, variables, hop_frames: int = 16):
+        self.model = model
+        self.variables = variables
+        self.hop = hop_frames
+        self.buf: Optional[np.ndarray] = None
+        self._enc = jax.jit(
+            lambda s, l: model.apply(variables, s, l, method="encode")
+        )
+        self._ctc = jax.jit(lambda h: model.apply(variables, h, method="ctc_log_softmax"))
+
+    def accept_input(self, frames: np.ndarray) -> List[int]:
+        """frames: (t, D) new feature frames → current hypothesis ids."""
+        self.buf = frames if self.buf is None else np.concatenate([self.buf, frames])
+        speech = jnp.asarray(self.buf[None])
+        lens = jnp.array([self.buf.shape[0]])
+        hs, hlens = self._enc(speech, lens)
+        logp = self._ctc(hs)
+        return ctc_greedy_decode_host(np.asarray(logp), np.asarray(hlens))[0]
+
+
+class SegmentStreamingASR:
+    def __init__(
+        self,
+        model,
+        variables,
+        decode_fn: Optional[Callable[[np.ndarray], List[int]]] = None,
+        min_blank_dur: int = 4,
+        min_speech_frames: int = 4,
+    ):
+        self.model = model
+        self.variables = variables
+        self.min_blank = min_blank_dur
+        self.min_speech = min_speech_frames
+        self.buf: Optional[np.ndarray] = None
+        self.decode_fn = decode_fn
+        self._enc = jax.jit(
+            lambda s, l: model.apply(variables, s, l, method="encode")
+        )
+        self._ctc = jax.jit(lambda h: model.apply(variables, h, method="ctc_log_softmax"))
+
+    def _greedy_path(self, frames: np.ndarray) -> np.ndarray:
+        hs, hlens = self._enc(jnp.asarray(frames[None]), jnp.array([frames.shape[0]]))
+        logp = self._ctc(hs)
+        return np.argmax(np.asarray(logp)[0, : int(hlens[0])], axis=-1)
+
+    def accept_input(self, frames: np.ndarray) -> Optional[List[int]]:
+        """Returns a finalized segment hypothesis when a segment closes."""
+        self.buf = frames if self.buf is None else np.concatenate([self.buf, frames])
+        path = self._greedy_path(self.buf)
+        nonblank = np.nonzero(path)[0]
+        if len(nonblank) < 1:
+            return None
+        trailing_blanks = len(path) - 1 - nonblank[-1]
+        if trailing_blanks >= self.min_blank and len(nonblank) >= 1:
+            seg = self.buf
+            self.buf = None
+            if self.decode_fn is not None:
+                return self.decode_fn(seg)
+            seq, prev = [], -1
+            for p in path:
+                if p != 0 and p != prev:
+                    seq.append(int(p))
+                prev = p
+            return seq
+        return None
