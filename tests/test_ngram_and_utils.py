@@ -1,0 +1,140 @@
+"""Tests for the ARPA n-gram LM, utility CLIs (average/pack/split)."""
+import pickle
+from pathlib import Path
+
+import numpy as np
+
+ARPA = """\\data\\
+ngram 1=5
+ngram 2=4
+
+\\1-grams:
+-1.0\t<s>\t-0.5
+-0.7\t</s>
+-0.5\tA\t-0.3
+-0.6\tB\t-0.2
+-1.5\t<unk>
+
+\\2-grams:
+-0.2\t<s> A
+-0.3\tA B
+-0.4\tB A
+-0.9\tB </s>
+
+\\end\\
+"""
+
+
+def test_arpa_backoff_scoring(tmp_path):
+    from espnet_tpu.text.ngram import ArpaLM
+
+    p = tmp_path / "lm.arpa"
+    p.write_text(ARPA)
+    lm = ArpaLM.load(p)
+    assert lm.order == 2
+    ln10 = np.log(10.0)
+    # direct bigram
+    np.testing.assert_allclose(lm.score(["<s>"], "A"), -0.2 * ln10, rtol=1e-6)
+    # backoff: P(B | <s>) = bo(<s>) + P(B) = (-0.5 + -0.6)*ln10
+    np.testing.assert_allclose(lm.score(["<s>"], "B"), (-0.5 - 0.6) * ln10, rtol=1e-6)
+    # OOV → unk
+    np.testing.assert_allclose(lm.score([], "ZZZ"), -1.5 * ln10, rtol=1e-6)
+    # sentence logprob finite
+    assert np.isfinite(lm.sentence_logprob(["A", "B"]))
+
+
+def test_dense_bigram_matches_host_scoring(tmp_path):
+    from espnet_tpu.text.ngram import ArpaLM, dense_bigram_tables
+
+    p = tmp_path / "lm.arpa"
+    p.write_text(ARPA)
+    lm = ArpaLM.load(p)
+    tokens = ["<blank>", "A", "B", "<sos/eos>"]
+    uni, bi = dense_bigram_tables(lm, tokens)
+    np.testing.assert_allclose(bi[1, 2], lm.score(["A"], "B"), rtol=1e-6)
+    np.testing.assert_allclose(bi[2, 1], lm.score(["B"], "A"), rtol=1e-6)
+    np.testing.assert_allclose(bi[3, 1], lm.score(["<s>"], "A"), rtol=1e-6)
+
+
+def test_average_checkpoints_cli(tmp_path):
+    from espnet_tpu.bin import average_checkpoints
+
+    a = {"w": np.array([1.0, 2.0]), "b": {"x": np.array([0.0])}}
+    b = {"w": np.array([3.0, 4.0]), "b": {"x": np.array([2.0])}}
+    for name, tree in [("a.ckpt", a), ("b.ckpt", b)]:
+        with open(tmp_path / name, "wb") as f:
+            pickle.dump(tree, f)
+    average_checkpoints.main(
+        ["--ckpts", str(tmp_path / "a.ckpt"), str(tmp_path / "b.ckpt"),
+         "--out", str(tmp_path / "avg.ckpt")]
+    )
+    with open(tmp_path / "avg.ckpt", "rb") as f:
+        avg = pickle.load(f)
+    np.testing.assert_allclose(avg["w"], [2.0, 3.0])
+    np.testing.assert_allclose(avg["b"]["x"], [1.0])
+
+
+def test_pack_unpack_cli(tmp_path):
+    from espnet_tpu.bin import pack
+
+    (tmp_path / "config.yaml").write_text("a: 1")
+    (tmp_path / "model.ckpt").write_bytes(b"xyz")
+    pack.main(
+        ["pack", "--files", str(tmp_path / "config.yaml"),
+         str(tmp_path / "model.ckpt"), "--out", str(tmp_path / "m.zip")]
+    )
+    pack.main(["unpack", "--archive", str(tmp_path / "m.zip"),
+               "--out_dir", str(tmp_path / "un")])
+    assert (tmp_path / "un" / "config.yaml").read_text() == "a: 1"
+    assert (tmp_path / "un" / "model.ckpt").read_bytes() == b"xyz"
+
+
+def test_split_scps_cli(tmp_path):
+    from espnet_tpu.bin import split_scps
+    from espnet_tpu.data.kaldi_io import read_scp, write_scp
+
+    write_scp(tmp_path / "wav.scp", {f"u{i}": f"/x/{i}.wav" for i in range(10)})
+    split_scps.main(
+        ["--scps", str(tmp_path / "wav.scp"), "--num_splits", "3",
+         "--output_dir", str(tmp_path / "out")]
+    )
+    total = 0
+    for i in range(1, 4):
+        total += len(read_scp(tmp_path / "out" / "split3" / str(i) / "wav.scp"))
+    assert total == 10
+
+
+def test_ngram_fusion_in_beam_search(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from espnet_tpu.models.asr import ASRModel, TransformerDecoder, TransformerEncoder
+    from espnet_tpu.search.beam_search import BeamSearch
+    from espnet_tpu.search.scorers import transformer_decoder_scorer
+    from espnet_tpu.text.ngram import ArpaLM, ngram_scorer
+
+    p = tmp_path / "lm.arpa"
+    p.write_text(ARPA)
+    lm = ArpaLM.load(p)
+    tokens = ["<blank>", "A", "B", "<sos/eos>"]
+    v = len(tokens)
+    rng = np.random.RandomState(0)
+    enc = TransformerEncoder(attention_dim=16, attention_heads=2, linear_units=16,
+                             num_blocks=1, input_layer="linear")
+    dec = TransformerDecoder(v, attention_dim=16, attention_heads=2,
+                             linear_units=16, num_blocks=1)
+    model = ASRModel(vocab_size=v, encoder=enc, decoder=dec, ctc_weight=0.3)
+    feats = jnp.asarray(rng.randn(1, 5, 6).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), feats, jnp.array([5]),
+                           jnp.array([[1]]), jnp.array([1]))
+    hs, hlens = model.apply(variables, feats, jnp.array([5]), method="encode")
+    dec_vars = {"params": variables["params"]["decoder"]}
+    bs = BeamSearch(
+        {
+            "decoder": transformer_decoder_scorer(dec, dec_vars, 1.0),
+            "ngram": ngram_scorer(lm, tokens, 0.5),
+        },
+        vocab_size=v, sos=v - 1, eos=v - 1, beam_size=2,
+    )
+    yseq, ylen, scores = bs(hs, hlens, maxlen=3)
+    assert np.isfinite(np.asarray(scores)[0, 0])
