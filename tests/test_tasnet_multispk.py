@@ -1,0 +1,89 @@
+"""Conv-TasNet, PIT multi-speaker ASR, multi-encoder ASR tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from espnet_tpu.models.asr import RNNEncoder, TransformerDecoder, TransformerEncoder
+
+V = 8
+
+
+def test_conv_tasnet_forward_backward():
+    from espnet_tpu.models.enh import EnhancementModel
+    from espnet_tpu.models.enh.tasnet import ConvTasNet
+
+    rng = np.random.RandomState(0)
+    b, n = 2, 800
+    s1 = rng.randn(b, n).astype(np.float32) * 0.3
+    s2 = rng.randn(b, n).astype(np.float32) * 0.3
+    mix = jnp.asarray(s1 + s2)
+    refs = jnp.asarray(np.stack([s1, s2], axis=1))
+    lens = jnp.array([n, n - 100])
+    model = EnhancementModel(
+        separator=ConvTasNet(
+            n_spk=2, enc_filters=16, enc_kernel=16, bottleneck=8, hidden=16,
+            tcn_layers=2, tcn_stacks=1,
+        ),
+        n_spk=2,
+    )
+    variables = model.init(jax.random.PRNGKey(0), mix, lens, refs)
+    loss, grads = jax.value_and_grad(
+        lambda p: model.apply({"params": p}, mix, lens, refs)[0]
+    )(variables["params"])
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_pit_ctc_asr():
+    from espnet_tpu.models.asr.multispeaker import PITCTCASRModel
+
+    rng = np.random.RandomState(1)
+    b, t, d = 2, 24, 10
+    feats = jnp.asarray(rng.randn(b, t, d).astype(np.float32))
+    ilens = jnp.array([t, t - 6])
+    text = jnp.asarray(rng.randint(1, V - 1, (b, 2, 4)).astype(np.int32))
+    tlens = jnp.asarray(np.full((b, 2), 4, dtype=np.int32))
+    front = RNNEncoder(elayers=1, eunits=12, eprojs=12)
+    branches = [
+        RNNEncoder(elayers=1, eunits=12, eprojs=12),
+        RNNEncoder(elayers=1, eunits=12, eprojs=12),
+    ]
+    model = PITCTCASRModel(
+        vocab_size=V, encoder_front=front, encoder_branches=branches
+    )
+    variables = model.init(jax.random.PRNGKey(0), feats, ilens, text, tlens)
+    loss, grads = jax.value_and_grad(
+        lambda p: model.apply({"params": p}, feats, ilens, text, tlens)[0]
+    )(variables["params"])
+    assert np.isfinite(float(loss))
+    # PIT: swapping reference speakers must not change the loss
+    text_sw = text[:, ::-1]
+    loss_sw, _ = model.apply(variables, feats, ilens, text_sw, tlens[:, ::-1])
+    np.testing.assert_allclose(float(loss), float(loss_sw), rtol=1e-5)
+
+
+def test_multi_encoder_asr():
+    from espnet_tpu.models.asr.multispeaker import MultiEncoderASRModel
+
+    rng = np.random.RandomState(2)
+    b = 2
+    s1 = jnp.asarray(rng.randn(b, 20, 8).astype(np.float32))
+    s2 = jnp.asarray(rng.randn(b, 16, 6).astype(np.float32))
+    l1, l2 = jnp.array([20, 14]), jnp.array([16, 10])
+    text = jnp.asarray(rng.randint(1, V - 1, (b, 3)).astype(np.int32))
+    tlens = jnp.array([3, 2])
+    encs = [
+        TransformerEncoder(attention_dim=16, attention_heads=2, linear_units=16,
+                           num_blocks=1, input_layer="linear"),
+        TransformerEncoder(attention_dim=16, attention_heads=2, linear_units=16,
+                           num_blocks=1, input_layer="linear"),
+    ]
+    dec = TransformerDecoder(V, attention_dim=16, attention_heads=2,
+                             linear_units=16, num_blocks=1)
+    model = MultiEncoderASRModel(vocab_size=V, encoders=encs, decoder=dec)
+    variables = model.init(
+        jax.random.PRNGKey(0), [s1, s2], [l1, l2], text, tlens
+    )
+    loss, stats = model.apply(variables, [s1, s2], [l1, l2], text, tlens)
+    assert np.isfinite(float(loss))
+    assert "loss_ctc0" in stats and "loss_ctc1" in stats
