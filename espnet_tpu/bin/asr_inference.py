@@ -21,6 +21,7 @@ from espnet_tpu.search.greedy import ctc_greedy_decode_host
 from espnet_tpu.search.scorers import (
     rnn_decoder_scorer,
     rnn_lm_scorer,
+    transformer_decoder_cached_scorer,
     transformer_decoder_scorer,
     transformer_lm_scorer,
 )
@@ -69,7 +70,9 @@ class Speech2Text:
             if isinstance(dec, RNNDecoder):
                 scorers["decoder"] = rnn_decoder_scorer(dec, dec_vars, 1.0 - ctc_weight)
             else:
-                scorers["decoder"] = transformer_decoder_scorer(
+                # KV-cached fast path (verified identical to the
+                # stateless score_prefix path)
+                scorers["decoder"] = transformer_decoder_cached_scorer(
                     dec, dec_vars, 1.0 - ctc_weight
                 )
         if lm is not None and lm_weight > 0:

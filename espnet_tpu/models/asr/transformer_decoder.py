@@ -3,21 +3,25 @@
 Pre-norm blocks of causal self-attention + source attention + FF, token
 embedding with sinusoidal positions, final LayerNorm + output projection.
 
-`__call__` is the teacher-forced training path. `score_prefix` is the
-beam-search path: it re-runs the full (static-length) prefix with a causal
-mask and returns the log-probs at a given position — the TPU-friendly
-formulation (one big batched matmul per step, no dynamic KV surgery);
-a KV-cached variant can be swapped in later without changing callers.
+Decoding paths:
+- `score_prefix`: re-runs the full static prefix (simple, stateless).
+- `init_cache` / `score_step`: KV-cached incremental decoding — per-layer
+  K/V buffers (N, Lmax, H, Dk) updated in place at `pos`, one token's
+  worth of FLOPs per step. This is the TPU-idiomatic replacement for the
+  reference's per-hypothesis state lists (decoder implements
+  BatchScorerInterface, decoder.py:47): the cache is a pytree gathered
+  by hypothesis index after beam pruning.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-from espnet_tpu.layers.attention import MultiHeadedAttention
-from espnet_tpu.layers.embedding import PositionalEncoding
+from espnet_tpu.layers.attention import MASK_MIN, MultiHeadedAttention
+from espnet_tpu.layers.embedding import PositionalEncoding, sinusoidal_table
 from espnet_tpu.layers.feed_forward import PositionwiseFeedForward
 from espnet_tpu.utils.masks import make_non_pad_mask, subsequent_mask
 
@@ -32,42 +36,97 @@ class TransformerDecoderLayer(nn.Module):
     normalize_before: bool = True
     dtype: type = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, self_mask, memory, memory_mask, deterministic: bool = True):
-        drop = nn.Dropout(self.dropout_rate)
-
-        residual = x
-        if self.normalize_before:
-            x = nn.LayerNorm()(x)
-        x = MultiHeadedAttention(
-            self.attention_heads, self.attention_dim, self.self_attention_dropout_rate,
-            dtype=self.dtype,
-        )(x, x, x, self_mask, deterministic=deterministic)
-        x = residual + drop(x, deterministic=deterministic)
-        if not self.normalize_before:
-            x = nn.LayerNorm()(x)
-
-        residual = x
-        if self.normalize_before:
-            x = nn.LayerNorm()(x)
-        x = MultiHeadedAttention(
-            self.attention_heads, self.attention_dim, self.src_attention_dropout_rate,
-            dtype=self.dtype,
-        )(x, memory.astype(self.dtype), memory.astype(self.dtype), memory_mask, deterministic=deterministic)
-        x = residual + drop(x, deterministic=deterministic)
-        if not self.normalize_before:
-            x = nn.LayerNorm()(x)
-
-        residual = x
-        if self.normalize_before:
-            x = nn.LayerNorm()(x)
-        x = PositionwiseFeedForward(
+    def setup(self):
+        self.self_attn = MultiHeadedAttention(
+            self.attention_heads, self.attention_dim,
+            self.self_attention_dropout_rate, dtype=self.dtype,
+        )
+        self.src_attn = MultiHeadedAttention(
+            self.attention_heads, self.attention_dim,
+            self.src_attention_dropout_rate, dtype=self.dtype,
+        )
+        self.feed_forward = PositionwiseFeedForward(
             self.linear_units, self.dropout_rate, dtype=self.dtype
-        )(x, deterministic=deterministic)
-        x = residual + drop(x, deterministic=deterministic)
+        )
+        self.norm1 = nn.LayerNorm()
+        self.norm2 = nn.LayerNorm()
+        self.norm3 = nn.LayerNorm()
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, x, self_mask, memory, memory_mask, deterministic: bool = True):
+        drop = lambda h: self.dropout(h, deterministic=deterministic)
+
+        residual = x
+        if self.normalize_before:
+            x = self.norm1(x)
+        x = self.self_attn(x, x, x, self_mask, deterministic=deterministic)
+        x = residual + drop(x)
         if not self.normalize_before:
-            x = nn.LayerNorm()(x)
+            x = self.norm1(x)
+
+        residual = x
+        if self.normalize_before:
+            x = self.norm2(x)
+        x = self.src_attn(
+            x, memory.astype(self.dtype), memory.astype(self.dtype),
+            memory_mask, deterministic=deterministic,
+        )
+        x = residual + drop(x)
+        if not self.normalize_before:
+            x = self.norm2(x)
+
+        residual = x
+        if self.normalize_before:
+            x = self.norm3(x)
+        x = self.feed_forward(x, deterministic=deterministic)
+        x = residual + drop(x)
+        if not self.normalize_before:
+            x = self.norm3(x)
         return x
+
+    def step(self, x_t, cache_k, cache_v, pos, memory, memory_mask):
+        """One query position with KV cache.
+
+        x_t: (N, 1, D); cache_k/v: (N, Lmax, H, Dk); pos: (N,) current
+        index. Returns (y_t, new_cache_k, new_cache_v).
+        """
+        n, lmax, h, dk = cache_k.shape
+        att = self.self_attn
+
+        residual = x_t
+        x = self.norm1(x_t) if self.normalize_before else x_t
+        q = att.linear_q(x).reshape(n, 1, h, dk)
+        k_t = att.linear_k(x).reshape(n, h, dk)
+        v_t = att.linear_v(x).reshape(n, h, dk)
+        onehot = jax.nn.one_hot(pos, lmax, dtype=cache_k.dtype)  # (N, Lmax)
+        cache_k = cache_k * (1 - onehot[..., None, None]) + onehot[..., None, None] * k_t[:, None]
+        cache_v = cache_v * (1 - onehot[..., None, None]) + onehot[..., None, None] * v_t[:, None]
+        scores = jnp.einsum("nqhd,nkhd->nhqk", q, cache_k) / jnp.sqrt(
+            jnp.asarray(dk, dtype=q.dtype)
+        )
+        valid = jnp.arange(lmax)[None, :] <= pos[:, None]  # (N, Lmax)
+        scores = jnp.where(valid[:, None, None, :], scores, MASK_MIN)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
+        out = jnp.einsum("nhqk,nkhd->nqhd", attn, cache_v).reshape(n, 1, h * dk)
+        x = att.linear_out(out)
+        x = residual + x
+        if not self.normalize_before:
+            x = self.norm1(x)
+
+        residual = x
+        xq = self.norm2(x) if self.normalize_before else x
+        x = residual + self.src_attn(
+            xq, memory.astype(self.dtype), memory.astype(self.dtype), memory_mask
+        )
+        if not self.normalize_before:
+            x = self.norm2(x)
+
+        residual = x
+        xf = self.norm3(x) if self.normalize_before else x
+        x = residual + self.feed_forward(xf)
+        if not self.normalize_before:
+            x = self.norm3(x)
+        return x, cache_k, cache_v
 
 
 class TransformerDecoder(nn.Module):
@@ -84,7 +143,27 @@ class TransformerDecoder(nn.Module):
     causal: bool = True  # False = CMLM-style bidirectional (Mask-CTC)
     dtype: type = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.embed = nn.Embed(self.vocab_size, self.attention_dim)
+        self.pos_enc = PositionalEncoding(
+            self.attention_dim, self.positional_dropout_rate
+        )
+        self.layers = [
+            TransformerDecoderLayer(
+                self.attention_dim,
+                self.attention_heads,
+                self.linear_units,
+                self.dropout_rate,
+                self.self_attention_dropout_rate,
+                self.src_attention_dropout_rate,
+                self.normalize_before,
+                dtype=self.dtype,
+            )
+            for _ in range(self.num_blocks)
+        ]
+        self.final_norm = nn.LayerNorm()
+        self.output = nn.Dense(self.vocab_size)
+
     def __call__(
         self,
         memory: jnp.ndarray,
@@ -95,10 +174,8 @@ class TransformerDecoder(nn.Module):
     ) -> jnp.ndarray:
         """Teacher-forced decode → (B, L, vocab) logits."""
         b, l = ys_in.shape
-        x = nn.Embed(self.vocab_size, self.attention_dim)(ys_in)
-        x = PositionalEncoding(self.attention_dim, self.positional_dropout_rate)(
-            x, deterministic=deterministic
-        )
+        x = self.embed(ys_in)
+        x = self.pos_enc(x, deterministic=deterministic)
         if self.causal:
             self_mask = subsequent_mask(l)[None, :, :]  # (1, L, L)
         else:
@@ -106,20 +183,11 @@ class TransformerDecoder(nn.Module):
         if ys_in_lens is not None:
             self_mask = self_mask & make_non_pad_mask(ys_in_lens, l)[:, None, :]
         memory_mask = make_non_pad_mask(memory_lens, memory.shape[1])[:, None, :]
-        for _ in range(self.num_blocks):
-            x = TransformerDecoderLayer(
-                self.attention_dim,
-                self.attention_heads,
-                self.linear_units,
-                self.dropout_rate,
-                self.self_attention_dropout_rate,
-                self.src_attention_dropout_rate,
-                self.normalize_before,
-                dtype=self.dtype,
-            )(x, self_mask, memory, memory_mask, deterministic=deterministic)
+        for layer in self.layers:
+            x = layer(x, self_mask, memory, memory_mask, deterministic=deterministic)
         if self.normalize_before:
-            x = nn.LayerNorm()(x)
-        return nn.Dense(self.vocab_size)(x.astype(jnp.float32))
+            x = self.final_norm(x)
+        return self.output(x.astype(jnp.float32))
 
     def score_prefix(
         self,
@@ -128,17 +196,51 @@ class TransformerDecoder(nn.Module):
         yseq: jnp.ndarray,
         pos: jnp.ndarray,
     ) -> jnp.ndarray:
-        """Log-probs of the next token after `yseq[:, :pos+1]`.
-
-        Args:
-            memory: (N, T, D) encoder output (N = batch*beam, pre-tiled).
-            yseq: (N, Lmax) padded prefix (static length).
-            pos: scalar or (N,) index of the last valid token in yseq.
-
-        Returns:
-            (N, vocab) log-probs.
-        """
+        """Log-probs of the next token after yseq[:, :pos+1] (stateless
+        full-prefix recompute)."""
         logits = self(memory, memory_lens, yseq, None, deterministic=True)
         pos = jnp.broadcast_to(jnp.asarray(pos), (yseq.shape[0],))
         sel = jnp.take_along_axis(logits, pos[:, None, None], axis=1)[:, 0]
         return nn.log_softmax(sel, axis=-1)
+
+    # -- KV-cached incremental path ------------------------------------
+    def init_cache(self, n: int, lmax: int) -> Dict[str, jnp.ndarray]:
+        dk = self.attention_dim // self.attention_heads
+        shape = (n, lmax, self.attention_heads, dk)
+        return {
+            f"layer_{i}": {
+                "k": jnp.zeros(shape, self.dtype),
+                "v": jnp.zeros(shape, self.dtype),
+            }
+            for i in range(self.num_blocks)
+        }
+
+    def score_step(
+        self,
+        cache: Dict[str, Any],
+        memory: jnp.ndarray,
+        memory_lens: jnp.ndarray,
+        token: jnp.ndarray,  # (N,) token at position pos
+        pos: jnp.ndarray,    # (N,)
+    ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        """Next-token log-probs with cache update → ((N, V), cache)."""
+        n = token.shape[0]
+        x = self.embed(token)[:, None, :]  # (N, 1, D)
+        x = x * jnp.sqrt(float(self.attention_dim)).astype(x.dtype)
+        lmax = next(iter(cache.values()))["k"].shape[1]
+        pe = sinusoidal_table(lmax, self.attention_dim, x.dtype)
+        x = x + jnp.take_along_axis(
+            jnp.broadcast_to(pe[None], (n, lmax, self.attention_dim)),
+            pos[:, None, None],
+            axis=1,
+        )
+        memory_mask = make_non_pad_mask(memory_lens, memory.shape[1])[:, None, :]
+        new_cache = {}
+        for i, layer in enumerate(self.layers):
+            c = cache[f"layer_{i}"]
+            x, ck, cv = layer.step(x, c["k"], c["v"], pos, memory, memory_mask)
+            new_cache[f"layer_{i}"] = {"k": ck, "v": cv}
+        if self.normalize_before:
+            x = self.final_norm(x)
+        logits = self.output(x.astype(jnp.float32))[:, 0]
+        return nn.log_softmax(logits, axis=-1), new_cache

@@ -37,10 +37,14 @@ NEG_INF = -1.0e10
 
 @dataclasses.dataclass
 class FullScorer:
-    """A label-synchronous scorer producing (N, V) log-probs per step."""
+    """A label-synchronous scorer producing (N, V) log-probs per step.
+
+    init(memory (N,T,D), memory_lens (N,), maxlen) -> state
+    score(state, yseq (N,L), pos (N,)) -> (logp (N,V), new_state)
+    """
 
     weight: float
-    init: Callable[[jnp.ndarray, jnp.ndarray], Any]
+    init: Callable[..., Any]
     score: Callable[[Any, jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, Any]]
 
 
@@ -108,7 +112,7 @@ class BeamSearch:
         mem_lens_t = jnp.repeat(memory_lens, w, axis=0)
 
         scorer_states = {
-            k: s.init(mem_t, mem_lens_t) for k, s in self.full_scorers.items()
+            k: s.init(mem_t, mem_lens_t, l) for k, s in self.full_scorers.items()
         }
         ctc_state = None
         ctc_logp_t = None

@@ -22,7 +22,7 @@ def transformer_decoder_scorer(decoder, variables, weight: float) -> FullScorer:
     (one batched matmul stack per step — MXU-friendly)."""
     cache: Dict[str, Any] = {}
 
-    def init(mem, mem_lens):
+    def init(mem, mem_lens, maxlen=None):
         cache["mem"], cache["lens"] = mem, mem_lens
         return ()
 
@@ -39,7 +39,7 @@ def rnn_decoder_scorer(decoder, variables, weight: float) -> FullScorer:
     """Stateful: LSTM carries + location-attention weights as beam state."""
     cache: Dict[str, Any] = {}
 
-    def init(mem, mem_lens):
+    def init(mem, mem_lens, maxlen=None):
         cache["mem"], cache["lens"] = mem, mem_lens
         n, t, _ = mem.shape
         cache["mask"] = make_non_pad_mask(mem_lens, t)
@@ -73,7 +73,7 @@ def rnn_decoder_scorer(decoder, variables, weight: float) -> FullScorer:
 
 
 def transformer_lm_scorer(lm, variables, weight: float) -> FullScorer:
-    def init(mem, mem_lens):
+    def init(mem, mem_lens, maxlen=None):
         return ()
 
     def score(state, yseq, pos):
@@ -84,7 +84,7 @@ def transformer_lm_scorer(lm, variables, weight: float) -> FullScorer:
 
 
 def rnn_lm_scorer(lm, variables, weight: float) -> FullScorer:
-    def init(mem, mem_lens):
+    def init(mem, mem_lens, maxlen=None):
         n = mem.shape[0]
         return lm.apply(variables, n, method="init_carry")
 
@@ -92,5 +92,27 @@ def rnn_lm_scorer(lm, variables, weight: float) -> FullScorer:
         token = jnp.take_along_axis(yseq, pos[:, None], axis=1)[:, 0]
         new_carry, logits = lm.apply(variables, state, token, method="step")
         return jax.nn.log_softmax(logits, axis=-1), new_carry
+
+    return FullScorer(weight, init, score)
+
+
+def transformer_decoder_cached_scorer(decoder, variables, weight: float) -> FullScorer:
+    """KV-cached incremental decoder scorer — O(1) prefix work per step
+    (the fast path; transformer_decoder_scorer is the stateless
+    reference)."""
+    cache_env: Dict[str, Any] = {}
+
+    def init(mem, mem_lens, maxlen):
+        cache_env["mem"], cache_env["lens"] = mem, mem_lens
+        n = mem.shape[0]
+        return decoder.apply(variables, n, maxlen, method="init_cache")
+
+    def score(state, yseq, pos):
+        token = jnp.take_along_axis(yseq, pos[:, None], axis=1)[:, 0]
+        logp, new_cache = decoder.apply(
+            variables, state, cache_env["mem"], cache_env["lens"], token, pos,
+            method="score_step",
+        )
+        return logp, new_cache
 
     return FullScorer(weight, init, score)

@@ -115,7 +115,7 @@ def ngram_scorer(lm: ArpaLM, token_list: List[str], weight: float):
     _, bi = dense_bigram_tables(lm, token_list)
     bi_t = jnp.asarray(bi)
 
-    def init(mem, mem_lens):
+    def init(mem, mem_lens, maxlen=None):
         return ()
 
     def score(state, yseq, pos):
