@@ -73,7 +73,7 @@ def test_beam_matches_exhaustive_attention_only():
         {"decoder": transformer_decoder_scorer(dec, dec_vars, 1.0)},
         vocab_size=V, sos=V - 1, eos=V - 1, beam_size=9, ctc_weight=0.0,
     )
-    yseq, ylen, scores = bs(hs, hlens, maxlen=3)
+    yseq, ylen, scores = bs(hs, hlens, maxlen=3, minlen=1)
     got = [int(x) for x in np.asarray(yseq[0, 0])[1: int(ylen[0, 0]) - 1]]
     assert tuple(got) == expect_seq, (got, expect_seq)
     np.testing.assert_allclose(float(scores[0, 0]), expect_score, rtol=1e-4)
@@ -99,7 +99,7 @@ def test_beam_matches_exhaustive_joint_ctc():
         vocab_size=V, sos=V - 1, eos=V - 1, beam_size=9, ctc_weight=0.3,
         pre_beam_size=4,
     )
-    yseq, ylen, scores = bs(hs, hlens, ctc_logp=ctc_logp, maxlen=3)
+    yseq, ylen, scores = bs(hs, hlens, ctc_logp=ctc_logp, maxlen=3, minlen=1)
     got = [int(x) for x in np.asarray(yseq[0, 0])[1: int(ylen[0, 0]) - 1]]
     assert tuple(got) == expect_seq, (got, expect_seq)
     np.testing.assert_allclose(float(scores[0, 0]), expect_score, rtol=1e-3)
