@@ -134,3 +134,127 @@ def transducer_beam_decode(
     else:
         kept.sort(key=lambda h: h.score, reverse=True)
     return [(list(h.yseq), h.score) for h in kept]
+
+
+def transducer_tsd_decode(
+    model,
+    variables,
+    hs: jnp.ndarray,     # (1, T, D)
+    hlen: int,
+    beam_size: int = 5,
+    max_sym_exp: int = 2,
+    score_norm: bool = True,
+) -> List[Tuple[List[int], float]]:
+    """Time-synchronous decoding (beam_search_transducer.py:239): at each
+    frame, up to max_sym_exp symbol expansions; hypotheses with the same
+    label sequence are merged by logaddexp."""
+    blank = model.blank
+    joint = jax.jit(lambda h, g: model.apply(variables, h, g, method="joint_step"))
+    pred = jax.jit(lambda c, t: model.apply(variables, c, t, method="pred_step"))
+
+    carry0 = model.apply(variables, 1, method="pred_init")
+    _, g0 = pred(carry0, jnp.zeros((1,), jnp.int32))
+    B = [_Hyp(0.0, (), carry0, g0)]
+
+    for t in range(int(hlen)):
+        h_t = hs[:, t]
+        A: dict = {}  # yseq -> hyp (merged)
+        C = B
+        for _ in range(max_sym_exp):
+            D: dict = {}
+            for hyp in C:
+                logp = np.asarray(joint(h_t, hyp.g)[0])
+                # blank → goes to A (next frame)
+                cand = _Hyp(hyp.score + float(logp[blank]), hyp.yseq, hyp.carry, hyp.g)
+                if cand.yseq in A:
+                    A[cand.yseq].score = float(np.logaddexp(A[cand.yseq].score, cand.score))
+                else:
+                    A[cand.yseq] = cand
+                # non-blank expansions continue within this frame
+                order = np.argsort(-logp)[: beam_size + 1]
+                for v in order:
+                    if v == blank:
+                        continue
+                    new_carry, new_g = pred(hyp.carry, jnp.array([v], jnp.int32))
+                    nh = _Hyp(
+                        hyp.score + float(logp[v]),
+                        hyp.yseq + (int(v),),
+                        new_carry,
+                        new_g,
+                    )
+                    if nh.yseq in D:
+                        D[nh.yseq].score = float(np.logaddexp(D[nh.yseq].score, nh.score))
+                    else:
+                        D[nh.yseq] = nh
+            C = sorted(D.values(), key=lambda h: h.score, reverse=True)[:beam_size]
+        B = sorted(A.values(), key=lambda h: h.score, reverse=True)[:beam_size]
+
+    key = (lambda h: h.score / max(len(h.yseq), 1)) if score_norm else (lambda h: h.score)
+    B.sort(key=key, reverse=True)
+    return [(list(h.yseq), h.score) for h in B]
+
+
+def transducer_alsd_decode(
+    model,
+    variables,
+    hs: jnp.ndarray,     # (1, T, D)
+    hlen: int,
+    beam_size: int = 5,
+    u_max_ratio: float = 1.0,
+    score_norm: bool = True,
+) -> List[Tuple[List[int], float]]:
+    """Align-length synchronous decoding (beam_search_transducer.py:349):
+    hypotheses advance along n = t + u diagonals; final hyps harvested
+    when t reaches T."""
+    blank = model.blank
+    t_max = int(hlen)
+    u_max = int(u_max_ratio * t_max)
+    joint = jax.jit(lambda h, g: model.apply(variables, h, g, method="joint_step"))
+    pred = jax.jit(lambda c, t: model.apply(variables, c, t, method="pred_step"))
+
+    carry0 = model.apply(variables, 1, method="pred_init")
+    _, g0 = pred(carry0, jnp.zeros((1,), jnp.int32))
+    B = [_Hyp(0.0, (), carry0, g0)]
+    final: List[_Hyp] = []
+
+    for n in range(t_max + u_max):
+        A: dict = {}
+        for hyp in B:
+            u = len(hyp.yseq)
+            t = n - u
+            if t < 0 or t >= t_max:
+                continue
+            h_t = hs[:, t]
+            logp = np.asarray(joint(h_t, hyp.g)[0])
+            # blank advances t
+            cand = _Hyp(hyp.score + float(logp[blank]), hyp.yseq, hyp.carry, hyp.g)
+            if t == t_max - 1:
+                final.append(cand)
+            if cand.yseq in A:
+                A[cand.yseq].score = float(np.logaddexp(A[cand.yseq].score, cand.score))
+            else:
+                A[cand.yseq] = cand
+            if u < u_max:
+                order = np.argsort(-logp)[: beam_size + 1]
+                for v in order:
+                    if v == blank:
+                        continue
+                    new_carry, new_g = pred(hyp.carry, jnp.array([v], jnp.int32))
+                    nh = _Hyp(
+                        hyp.score + float(logp[v]),
+                        hyp.yseq + (int(v),),
+                        new_carry,
+                        new_g,
+                    )
+                    if nh.yseq in A:
+                        A[nh.yseq].score = float(np.logaddexp(A[nh.yseq].score, nh.score))
+                    else:
+                        A[nh.yseq] = nh
+        if not A:
+            break
+        B = sorted(A.values(), key=lambda h: h.score, reverse=True)[:beam_size]
+
+    pool = final if final else B
+    key = (lambda h: h.score / max(len(h.yseq), 1)) if score_norm else (lambda h: h.score)
+    pool.sort(key=key, reverse=True)
+    return [(list(h.yseq), h.score) for h in pool[:beam_size]]

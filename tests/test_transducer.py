@@ -141,3 +141,21 @@ def test_transducer_beam(trained_transducer):
     greedy = [int(x) for x in np.asarray(ids[0])[: int(lens[0])]]
     # beam-best should be at least as good as greedy on the training data
     assert nbest[0][0] == list(ys[0]) or nbest[0][0] == greedy
+
+
+def test_transducer_tsd_alsd(trained_transducer):
+    from espnet_tpu.search.transducer import (
+        transducer_alsd_decode,
+        transducer_tsd_decode,
+    )
+
+    model, variables, batch, ys = trained_transducer
+    hs, hlens = model.apply(
+        variables, batch["speech"], batch["speech_lengths"], method="encode"
+    )
+    tsd = transducer_tsd_decode(model, variables, hs[:1], int(hlens[0]), beam_size=3)
+    alsd = transducer_alsd_decode(model, variables, hs[:1], int(hlens[0]), beam_size=3)
+    assert tsd and alsd
+    # on overfit data both should recover the training labels
+    assert tsd[0][0] == list(ys[0])
+    assert alsd[0][0] == list(ys[0])
