@@ -39,6 +39,10 @@ class LocationAttention(nn.Module):
         """Cache We·h once per utterance: (B, T, att_dim)."""
         return self.mlp_enc(enc_h)
 
+    def init_state(self, batch, t, hlens, dtype=jnp.float32):
+        mask = make_non_pad_mask(hlens, t)
+        return mask.astype(dtype) / jnp.maximum(hlens[:, None], 1).astype(dtype)
+
     def __call__(
         self,
         enc_h: jnp.ndarray,      # (B, T, D)
@@ -69,10 +73,20 @@ class RNNDecoderStep(nn.Module):
     aconv_chans: int
     aconv_filts: int
     dropout_rate: float
+    att_type: str = "location"
 
     def setup(self):
         self.embed = nn.Embed(self.vocab_size, self.dunits)
-        self.att = LocationAttention(self.att_dim, self.aconv_chans, self.aconv_filts)
+        if self.att_type == "location":
+            self.att = LocationAttention(
+                self.att_dim, self.aconv_chans, self.aconv_filts
+            )
+        else:
+            from espnet_tpu.models.asr.attentions import att_for
+
+            self.att = att_for(
+                self.att_type, self.att_dim, self.aconv_chans, self.aconv_filts
+            )
         self.cells = [nn.LSTMCell(self.dunits) for _ in range(self.dlayers)]
         self.output = nn.Dense(self.vocab_size)
         self.dropout = nn.Dropout(self.dropout_rate)
@@ -82,8 +96,7 @@ class RNNDecoderStep(nn.Module):
             (jnp.zeros((batch, self.dunits), dtype), jnp.zeros((batch, self.dunits), dtype))
             for _ in range(self.dlayers)
         )
-        mask = make_non_pad_mask(hlens, maxlen)
-        att_prev = mask.astype(dtype) / jnp.maximum(hlens[:, None], 1).astype(dtype)
+        att_prev = self.att.init_state(batch, maxlen, hlens, dtype)
         return states, att_prev
 
     def __call__(self, carry, token, enc_h, enc_proj, mask, deterministic: bool = True):
@@ -112,6 +125,7 @@ class RNNDecoder(nn.Module):
     aconv_chans: int = 10
     aconv_filts: int = 100
     dropout_rate: float = 0.0
+    att_type: str = "location"
 
     def setup(self):
         self.step = RNNDecoderStep(
@@ -122,6 +136,7 @@ class RNNDecoder(nn.Module):
             self.aconv_chans,
             self.aconv_filts,
             self.dropout_rate,
+            self.att_type,
         )
 
     def __call__(

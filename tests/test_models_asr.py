@@ -125,3 +125,23 @@ def test_asr_model_with_frontend_and_specaug():
         rngs={"dropout": jax.random.PRNGKey(1), "specaug": jax.random.PRNGKey(2)},
     )
     assert np.isfinite(float(loss))
+
+
+@pytest.mark.parametrize(
+    "att_type",
+    ["noatt", "dot", "add", "location", "coverage", "coverage_location",
+     "multi_head_dot", "forward"],
+)
+def test_rnn_decoder_attention_variants(att_type):
+    xs, ilens, ys, ylens = _batch(seed=7)
+    enc = RNNEncoder(elayers=1, eunits=8, eprojs=16)
+    dec = RNNDecoder(V, dunits=16, dlayers=1, att_dim=16, aconv_chans=2,
+                     aconv_filts=3, att_type=att_type)
+    model = ASRModel(vocab_size=V, encoder=enc, decoder=dec, ctc_weight=0.0)
+    variables = model.init(jax.random.PRNGKey(0), xs, ilens, ys, ylens)
+    loss, stats = model.apply(variables, xs, ilens, ys, ylens)
+    assert np.isfinite(float(loss)), att_type
+    g = jax.grad(
+        lambda p: model.apply({"params": p}, xs, ilens, ys, ylens)[0]
+    )(variables["params"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g))
