@@ -28,7 +28,7 @@ def main():
     import jax.numpy as jnp
 
     vocab = 500
-    b, t, l = 64, 512, 24
+    b, t, l = 128, 512, 24
     model = g._flagship(vocab, dtype=jnp.bfloat16)
     feats, ilens, ys, ylens = g._example_batch(b=b, t=t, d=80, l=l, vocab=vocab)
     variables = model.init(
