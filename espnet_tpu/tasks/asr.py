@@ -276,6 +276,28 @@ def train(
         shuffle=False,
     )
 
+    # adadelta eps-decay on validation regression (reference
+    # asr_utils.adadelta_eps_decay:498 + CompareValueTrigger): shrink the
+    # injected eps hyperparam when the best-key metric did not improve.
+    scheduler_on_valid = None
+    if config.get("optim") == "adadelta" and config.get("eps_decay"):
+        decay = float(config["eps_decay"])
+
+        def scheduler_on_valid(state, epoch, val, reporter):
+            best = reporter.best_epoch("valid", config.get("best_key", "loss"))
+            if best is not None and best != epoch:
+                # walk the optax chain for the inject_hyperparams state
+                # (its hyperparams dict is mutable within the pytree)
+                def visit(os):
+                    if hasattr(os, "hyperparams") and "eps" in os.hyperparams:
+                        os.hyperparams["eps"] = os.hyperparams["eps"] * decay
+                    elif isinstance(os, tuple):
+                        for o in os:
+                            visit(o)
+
+                visit(state.opt_state)
+            return state
+
     trainer = Trainer(
         model,
         tx,
@@ -285,6 +307,7 @@ def train(
         keep_nbest=config.get("keep_nbest", 5),
         best_key=config.get("best_key", "loss"),
         log_interval=config.get("log_interval", 50),
+        scheduler_on_valid=scheduler_on_valid,
     )
 
     # init params from one real batch
