@@ -84,6 +84,33 @@ class TTSTaskModel(nn.Module):
             text, text_lengths, feats, feat_lens, deterministic=deterministic, **kwargs
         )
 
+    def teacher_alignment(
+        self,
+        text: jnp.ndarray,
+        text_lengths: jnp.ndarray,
+        speech: jnp.ndarray,
+        speech_lengths: jnp.ndarray,
+    ):
+        """Teacher-forced attention → per-token durations (+ feat lens).
+
+        For a trained Tacotron2 teacher; feeds FastSpeech(2) training
+        (reference fastspeech/duration_calculator.py:16)."""
+        from espnet_tpu.models.tts.fastspeech import durations_from_attention
+
+        conf = dict(self.feats_conf)
+        feats, feat_lens = log_mel_spectrogram(speech, speech_lengths, **conf)
+        feats = (feats - self.mean.value) / jnp.maximum(self.std.value, 1e-10)
+        enc_h = self.tts.enc(text, text_lengths, True)
+        _, _, att_ws = self.tts._decode_teacher(enc_h, text_lengths, feats, True)
+        dur = durations_from_attention(
+            att_ws, text_lengths, feat_lens // self.tts.reduction_factor
+        )
+        # make durations sum exactly to feat_lens (pad/trim last token)
+        deficit = feat_lens - dur.sum(axis=1)
+        last = jnp.maximum(text_lengths - 1, 0)
+        dur = dur.at[jnp.arange(dur.shape[0]), last].add(deficit)
+        return jnp.maximum(dur, 0), feat_lens
+
     def synthesize(self, text, text_lengths, **kw):
         """→ (denormalized log-mel, lengths[, extras])."""
         out = self.tts.inference(text, text_lengths, **kw)

@@ -198,3 +198,39 @@ def test_pitch_energy_extraction():
     assert (en > 0.1).sum() > 5
     avg = average_by_duration(f0, np.array([len(f0) // 2, len(f0) - len(f0) // 2]))
     np.testing.assert_allclose(avg, [200, 200], rtol=0.1)
+
+
+def test_teacher_alignment_durations(tmp_path):
+    """TTSTaskModel.teacher_alignment produces durations summing to the
+    frame count — the tacotron2→fastspeech2 duration pipeline."""
+    import jax
+    from espnet_tpu.tasks.tts import build_tts_model
+
+    config = {
+        "tts": "tacotron2",
+        "tts_conf": {
+            "embed_dim": 8, "enc_conv_layers": 1, "enc_conv_chans": 8,
+            "enc_blstm_units": 8, "dunits": 8, "dlayers": 1, "prenet_units": 4,
+            "postnet_chans": 8, "att_dim": 4, "aconv_chans": 2, "aconv_filts": 2,
+        },
+        "feats_extract_conf": {"fs": 8000, "n_fft": 128, "hop_length": 64,
+                               "n_mels": 10, "fmin": 0.0, "fmax": None},
+    }
+    model = build_tts_model(config, vocab=7)
+    rng = np.random.RandomState(0)
+    text = jnp.asarray(rng.randint(1, 6, (2, 5)).astype(np.int32))
+    tlens = jnp.array([5, 3])
+    wav = jnp.asarray(rng.randn(2, 640).astype(np.float32))
+    wlens = jnp.array([640, 512])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        text, tlens, wav, wlens,
+    )
+    dur, feat_lens = model.apply(
+        variables, text, tlens, wav, wlens,
+        method="teacher_alignment", rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    dur, feat_lens = np.asarray(dur), np.asarray(feat_lens)
+    for b in range(2):
+        assert dur[b].sum() == feat_lens[b], (dur[b], feat_lens[b])
+        assert dur[b, int(tlens[b]):].sum() >= 0
