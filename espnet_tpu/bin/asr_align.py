@@ -53,6 +53,9 @@ def align_batch(model, variables, speech, speech_lengths, text, text_lengths,
 
 
 def main(argv=None):
+    from espnet_tpu.utils.env import apply_jax_platform_env
+
+    apply_jax_platform_env()
     argv = list(sys.argv[1:] if argv is None else argv)
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--data", action="append", default=[])
