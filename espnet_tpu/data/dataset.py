@@ -158,3 +158,55 @@ class SequenceIterFactory:
         )
         for batch_keys in batches:
             yield self.collate([self.dataset[k] for k in batch_keys])
+
+
+class ChunkIterFactory:
+    """Fixed-length chunk batches for enhancement training
+    (reference: espnet2/iterators/chunk_iter_factory.py:19): long
+    utterances are cut into `chunk_length` windows; chunks are shuffled
+    epoch-seeded and batched — every batch has identical static shape.
+    """
+
+    def __init__(
+        self,
+        dataset: ESPnetDataset,
+        shapes: Dict[str, Sequence[int]],
+        chunk_length: int = 16000,
+        batch_size: int = 8,
+        seed: int = 0,
+        shuffle: bool = True,
+        speech_name: str = "speech_mix",
+    ):
+        self.dataset = dataset
+        self.shapes = shapes
+        self.chunk_length = chunk_length
+        self.batch_size = batch_size
+        self.seed = seed
+        self.shuffle = shuffle
+        self.speech_name = speech_name
+
+    def __call__(self, epoch: int) -> Iterable[Dict[str, np.ndarray]]:
+        L = self.chunk_length
+        chunks = []  # (uid, start)
+        for uid, shp in self.shapes.items():
+            n = int(shp[0])
+            for start in range(0, max(n - L + 1, 1), L):
+                if start + L <= n:
+                    chunks.append((uid, start))
+        rng = np.random.RandomState(self.seed + epoch)
+        if self.shuffle:
+            rng.shuffle(chunks)
+        for i in range(0, len(chunks) - self.batch_size + 1, self.batch_size):
+            group = chunks[i: i + self.batch_size]
+            batch: Dict[str, List[np.ndarray]] = {}
+            for uid, start in group:
+                sample = self.dataset[uid]
+                for name, arr in sample.items():
+                    if arr.ndim >= 1 and arr.shape[-1] >= start + L:
+                        arr = arr[..., start: start + L]
+                    batch.setdefault(name, []).append(arr)
+            out = {k: np.stack(v) for k, v in batch.items()}
+            out[f"{self.speech_name}_lengths"] = np.full(
+                len(group), L, dtype=np.int32
+            )
+            yield out
