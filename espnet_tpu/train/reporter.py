@@ -141,3 +141,28 @@ class Reporter:
             plt.grid()
             plt.savefig(output_dir / f"{key}.png")
             plt.close()
+
+
+def plot_attention(att_ws, output_path, uid: str = ""):
+    """Save an attention heatmap PNG (reference: PlotAttentionReport,
+    espnet/asr/pytorch_backend/asr.py:687, transformer/plot.py)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    att = np.asarray(att_ws)
+    if att.ndim == 2:
+        att = att[None]
+    n = att.shape[0]
+    fig, axes = plt.subplots(1, n, figsize=(4 * n, 4))
+    if n == 1:
+        axes = [axes]
+    for i, ax in enumerate(axes):
+        ax.imshow(att[i], aspect="auto", origin="lower")
+        ax.set_xlabel("encoder frame")
+        ax.set_ylabel("decoder step")
+        ax.set_title(f"{uid} head{i}" if n > 1 else uid)
+    Path(output_path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(output_path)
+    plt.close(fig)

@@ -123,3 +123,21 @@ def sclite_report(
         f"Err={100.0*(S+D+I)/n:.2f}% S.Err |"
     )
     return "\n".join(lines)
+
+
+def model_summary(params) -> str:
+    """Parameter-count summary (reference: espnet2/torch_utils/model_summary.py)."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves_with_path(params)
+    total = 0
+    lines = []
+    for path, leaf in leaves:
+        import numpy as _np
+
+        n = int(_np.prod(_np.shape(leaf))) if _np.ndim(leaf) else 1
+        total += n
+        name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        lines.append(f"{name}: {tuple(_np.shape(leaf))} = {n:,}")
+    lines.append(f"Total parameters: {total:,} ({total * 4 / 1e6:.1f} MB f32)")
+    return "\n".join(lines)

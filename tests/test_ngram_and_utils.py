@@ -138,3 +138,21 @@ def test_ngram_fusion_in_beam_search(tmp_path):
     )
     yseq, ylen, scores = bs(hs, hlens, maxlen=3)
     assert np.isfinite(np.asarray(scores)[0, 0])
+
+
+def test_model_summary():
+    import jax.numpy as jnp
+
+    from espnet_tpu.utils.metrics import model_summary
+
+    params = {"enc": {"w": jnp.zeros((3, 4)), "b": jnp.zeros((4,))}}
+    s = model_summary(params)
+    assert "Total parameters: 16" in s
+
+
+def test_plot_attention(tmp_path):
+    from espnet_tpu.train.reporter import plot_attention
+
+    att = np.random.RandomState(0).rand(5, 8)
+    plot_attention(att, tmp_path / "att.png", "utt1")
+    assert (tmp_path / "att.png").exists()
