@@ -131,6 +131,7 @@ class FastSpeech2(nn.Module):
         h = self._encode(text, text_lengths, deterministic)
         tok_mask = make_non_pad_mask(text_lengths, text.shape[1])
         n_tok = jnp.maximum(tok_mask.sum(), 1)
+        durations = jnp.maximum(durations, 0)  # strip -1 padding
 
         d_pred = self.duration_predictor(h, deterministic)  # log domain
         d_target = jnp.log(durations.astype(jnp.float32) + self.duration_offset)

@@ -72,6 +72,9 @@ class TTSTaskModel(nn.Module):
         durations: Optional[jnp.ndarray] = None,
         pitch: Optional[jnp.ndarray] = None,
         energy: Optional[jnp.ndarray] = None,
+        durations_lengths=None,  # collate byproducts, unused
+        pitch_lengths=None,
+        energy_lengths=None,
         deterministic: bool = True,
     ):
         conf = dict(self.feats_conf)
@@ -237,8 +240,7 @@ def train(
     variables = model.init(
         {"params": jax.random.PRNGKey(config.get("seed", 0)),
          "dropout": jax.random.PRNGKey(1)},
-        first["text"], first["text_lengths"],
-        first["speech"], first["speech_lengths"],
+        **first,
     )
     if stats_dir and (Path(stats_dir) / "feats_stats.npz").exists():
         import shutil
