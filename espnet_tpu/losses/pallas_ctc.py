@@ -6,9 +6,11 @@ espnet/nets/pytorch_backend/ctc.py:40). Design:
 - Emissions are pre-gathered OUTSIDE the kernel (one XLA gather:
   (B,T,V) × blank-interleaved labels → (B,T,S), S = 2L+1 padded to the
   128 lane width) — gathers are what XLA does well; the kernel owns only
-  the sequential T-recursion, keeping the alpha/beta row resident in
-  VMEM with the whole S dimension on the VPU.
-- Grid = batch: one program per utterance.
+  the sequential T-recursion, keeping the alpha/beta rows resident in
+  VMEM.
+- Grid tiles the batch in chunks of 8 utterances per program, so every
+  VPU op runs on a native (8, 128) tile (full sublane utilisation) —
+  per-utterance lengths are handled with per-row masks.
 - Backward = mirrored beta recursion kernel; dL/d emit = −exp(α+β−logZ),
   scattered back to (B,T,V) by an XLA scatter-add. Wired via
   jax.custom_vjp, so training never differentiates through a scan.
@@ -27,6 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e10
 LANE = 128
+CHUNK = 8  # utterances per program = VPU sublane count
 
 
 def _round_up(x: int, m: int) -> int:
@@ -39,60 +42,68 @@ def _logadd2(a, b):
     return jnp.where(m <= NEG_INF / 2, NEG_INF, out)
 
 
-def _alpha_kernel(emit_ref, skip_ref, ilen_ref, alpha_ref, i):
-    """emit (T, S), skip (1, S), ilen SMEM (B,) read at i → alpha (T, S)."""
-    t_max, s = emit_ref.shape
-    skip = skip_ref[0:1, :]  # (1, S)
-    ilen = ilen_ref[i]
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+def _scalar_vec(ref, base, n):
+    """Read n consecutive SMEM scalars starting at base → (n, 1) array."""
+    vals = [ref[base + j] for j in range(n)]
+    return jnp.stack(vals).reshape(n, 1)
 
-    alpha0 = jnp.where(col < 2, emit_ref[0:1, :], NEG_INF)
-    alpha_ref[0:1, :] = alpha0
+
+def _alpha_kernel(emit_ref, skip_ref, ilen_ref, alpha_ref):
+    """emit (CH, T, S), skip (CH, S), ilen SMEM (B,) → alpha (CH, T, S)."""
+    ch, t_max, s = emit_ref.shape
+    skip = skip_ref[:, :]  # (CH, S)
+    i0 = pl.program_id(0) * ch
+    ilen = _scalar_vec(ilen_ref, i0, ch)  # (CH, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ch, s), 1)
+
+    alpha0 = jnp.where(col < 2, emit_ref[:, 0, :], NEG_INF)
+    alpha_ref[:, 0, :] = alpha0
 
     def step(t, alpha):
-        emit_t = emit_ref[pl.ds(t, 1), :]
+        emit_t = emit_ref[:, t, :]  # (CH, S)
         a1 = jnp.where(col >= 1, pltpu.roll(alpha, 1, 1), NEG_INF)
         a2 = jnp.where((col >= 2) & (skip > 0), pltpu.roll(alpha, 2, 1), NEG_INF)
         new = _logadd2(_logadd2(alpha, a1), a2) + emit_t
         new = jnp.maximum(new, NEG_INF)
-        new = jnp.where(t < ilen, new, alpha)
-        alpha_ref[pl.ds(t, 1), :] = new
+        new = jnp.where(t < ilen, new, alpha)  # freeze finished rows
+        alpha_ref[:, t, :] = new
         return new
 
     jax.lax.fori_loop(1, t_max, step, alpha0)
 
 
-def _beta_kernel(emit_ref, skip_ref, ilen_ref, llen_ref, beta_ref, i):
-    """beta (T, S): completion log-prob from state s at t, EXCLUDING the
-    emission at t (so α+β−logZ is the state posterior)."""
-    t_max, s = emit_ref.shape
-    skip = skip_ref[0:1, :]
-    ilen = ilen_ref[i]
-    llen = llen_ref[i]
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+def _beta_kernel(emit_ref, skip_ref, ilen_ref, llen_ref, beta_ref):
+    """beta (CH, T, S): completion log-prob from state s at t, EXCLUDING
+    the emission at t (so α+β−logZ is the state posterior)."""
+    ch, t_max, s = emit_ref.shape
+    skip = skip_ref[:, :]
+    i0 = pl.program_id(0) * ch
+    ilen = _scalar_vec(ilen_ref, i0, ch)   # (CH, 1)
+    llen = _scalar_vec(llen_ref, i0, ch)   # (CH, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ch, s), 1)
     end_mask = (col == 2 * llen) | ((col == 2 * llen - 1) & (llen > 0))
     skip_fwd = pltpu.roll(skip, s - 2, 1)  # skip_fwd[s] = skip[s+2]
+    init_row = jnp.where(end_mask, 0.0, NEG_INF)
 
     def body(i, beta):
-        t = ilen - 1 - i
-
-        def first(beta):
-            return jnp.where(end_mask, 0.0, NEG_INF)
-
-        def later(beta):
-            emit_next = emit_ref[pl.ds(t + 1, 1), :]
-            b = beta + emit_next
-            b1 = jnp.where(col < s - 1, pltpu.roll(b, s - 1, 1), NEG_INF)
-            b2 = jnp.where(
-                (col < s - 2) & (skip_fwd > 0), pltpu.roll(b, s - 2, 1), NEG_INF
-            )
-            return jnp.maximum(_logadd2(_logadd2(b, b1), b2), NEG_INF)
-
-        beta_new = jax.lax.cond(i == 0, first, later, beta)
-        beta_ref[pl.ds(t, 1), :] = beta_new
+        t = t_max - 1 - i
+        t_next = jnp.minimum(t + 1, t_max - 1)
+        emit_next = emit_ref[:, t_next, :]
+        b = beta + emit_next
+        b1 = jnp.where(col < s - 1, pltpu.roll(b, s - 1, 1), NEG_INF)
+        b2 = jnp.where(
+            (col < s - 2) & (skip_fwd > 0), pltpu.roll(b, s - 2, 1), NEG_INF
+        )
+        rec = jnp.maximum(_logadd2(_logadd2(b, b1), b2), NEG_INF)
+        # per-row: at t == ilen-1 start from the end states; beyond ilen
+        # the row is dead (NEG_INF); otherwise recurse
+        beta_new = jnp.where(
+            t == ilen - 1, init_row, jnp.where(t < ilen - 1, rec, NEG_INF)
+        )
+        beta_ref[:, t, :] = beta_new
         return beta_new
 
-    jax.lax.fori_loop(0, ilen, body, jnp.full((1, s), NEG_INF))
+    jax.lax.fori_loop(0, t_max, body, jnp.full((ch, s), NEG_INF))
 
 
 def _pad_s(x, s_pad, fill):
@@ -118,55 +129,59 @@ def _prep(log_probs, labels, blank):
     return emit, allow_skip, ext, s, s_pad
 
 
+def _pad_b(x, b_pad, fill):
+    pad = b_pad - x.shape[0]
+    if pad <= 0:
+        return x
+    return jnp.pad(
+        x, [(0, pad)] + [(0, 0)] * (x.ndim - 1), constant_values=fill
+    )
+
+
 def _run_alpha(emit, allow_skip, input_lengths, interpret=False):
     b, t, s_pad = emit.shape
+    b_pad = _round_up(b, CHUNK)
+    emit_p = _pad_b(emit, b_pad, NEG_INF)
+    skip_p = _pad_b(allow_skip, b_pad, 0.0)
+    ilen_p = _pad_b(input_lengths.astype(jnp.int32), b_pad, 0)
 
-    def kernel(emit_r, skip_r, ilen_r, alpha_r):
-        _alpha_kernel(
-            emit_r.at[0], skip_r.at[0], ilen_r, alpha_r.at[0], pl.program_id(0)
-        )
-
-    return pl.pallas_call(
-        kernel,
-        grid=(b,),
+    alpha = pl.pallas_call(
+        _alpha_kernel,
+        grid=(b_pad // CHUNK,),
         in_specs=[
-            pl.BlockSpec((1, t, s_pad), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, s_pad), lambda i: (i, 0, 0)),
+            pl.BlockSpec((CHUNK, t, s_pad), lambda i: (i, 0, 0)),
+            pl.BlockSpec((CHUNK, s_pad), lambda i: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, t, s_pad), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, t, s_pad), jnp.float32),
+        out_specs=pl.BlockSpec((CHUNK, t, s_pad), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b_pad, t, s_pad), jnp.float32),
         interpret=interpret,
-    )(emit, allow_skip[:, None, :], input_lengths.astype(jnp.int32))
+    )(emit_p, skip_p, ilen_p)
+    return alpha[:b]
 
 
 def _run_beta(emit, allow_skip, input_lengths, label_lengths, interpret=False):
     b, t, s_pad = emit.shape
+    b_pad = _round_up(b, CHUNK)
+    emit_p = _pad_b(emit, b_pad, NEG_INF)
+    skip_p = _pad_b(allow_skip, b_pad, 0.0)
+    ilen_p = _pad_b(input_lengths.astype(jnp.int32), b_pad, 0)
+    llen_p = _pad_b(label_lengths.astype(jnp.int32), b_pad, 0)
 
-    def kernel(emit_r, skip_r, ilen_r, llen_r, beta_r):
-        _beta_kernel(
-            emit_r.at[0], skip_r.at[0], ilen_r, llen_r, beta_r.at[0],
-            pl.program_id(0),
-        )
-
-    return pl.pallas_call(
-        kernel,
-        grid=(b,),
+    beta = pl.pallas_call(
+        _beta_kernel,
+        grid=(b_pad // CHUNK,),
         in_specs=[
-            pl.BlockSpec((1, t, s_pad), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, s_pad), lambda i: (i, 0, 0)),
+            pl.BlockSpec((CHUNK, t, s_pad), lambda i: (i, 0, 0)),
+            pl.BlockSpec((CHUNK, s_pad), lambda i: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, t, s_pad), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, t, s_pad), jnp.float32),
+        out_specs=pl.BlockSpec((CHUNK, t, s_pad), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b_pad, t, s_pad), jnp.float32),
         interpret=interpret,
-    )(
-        emit,
-        allow_skip[:, None, :],
-        input_lengths.astype(jnp.int32),
-        label_lengths.astype(jnp.int32),
-    )
+    )(emit_p, skip_p, ilen_p, llen_p)
+    return beta[:b]
 
 
 def _loglik_from_alpha(alpha, input_lengths, label_lengths):
