@@ -97,6 +97,10 @@ class TransducerModel(nn.Module):
     joint_dim: int = 256
     blank: int = 0
     aux_ctc_weight: float = 0.0
+    # >0: compute the (B,T,U+1,V) joint lattice in T-chunks under
+    # jax.checkpoint — O(B·chunk·U·V) live memory instead of the full
+    # lattice (the warp-transducer memory-pressure fix, SURVEY §7)
+    time_chunk: int = 0
 
     def setup(self):
         self.prediction = PredictionNet(self.vocab_size, self.dunits, self.dlayers)
@@ -119,8 +123,16 @@ class TransducerModel(nn.Module):
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         hs, hlens = self.encode(speech, speech_lengths, deterministic)
         g = self.prediction(text, deterministic=deterministic)  # (B, U+1, D)
-        logits = self.joint.lattice(hs, g)  # (B, T, U+1, V)
-        nll = rnnt_loss(logits, text, hlens, text_lengths, blank=self.blank)
+        if self.time_chunk > 0:
+            from espnet_tpu.losses.transducer import rnnt_loss_from_log_probs
+
+            lp_blank, lp_emit = self._chunked_lattice_log_probs(hs, g, text)
+            nll = rnnt_loss_from_log_probs(
+                lp_blank, lp_emit, hlens, text_lengths
+            )
+        else:
+            logits = self.joint.lattice(hs, g)  # (B, T, U+1, V)
+            nll = rnnt_loss(logits, text, hlens, text_lengths, blank=self.blank)
         loss = nll.mean()
         stats = {"loss": loss, "loss_transducer": loss}
         if self.aux_ctc_weight > 0:
@@ -130,6 +142,41 @@ class TransducerModel(nn.Module):
             stats["loss_ctc"] = loss_ctc
             stats["loss"] = loss
         return loss, stats
+
+    def _chunked_lattice_log_probs(self, hs, g, text):
+        """(lp_blank (B,T,U+1), lp_emit (B,T,U)) without materialising the
+        full (B,T,U+1,V) lattice: T is processed in `time_chunk` slices
+        under jax.checkpoint (logits recomputed in the backward pass)."""
+        b, t, d = hs.shape
+        labels_c = jnp.where(text < 0, 0, text)
+        tc = self.time_chunk
+        t_pad = (t + tc - 1) // tc * tc
+        hs_p = jnp.pad(hs, ((0, 0), (0, t_pad - t), (0, 0)))
+        blank = self.blank
+
+        def _chunk(joint_mod, h_chunk, g_in, lab):
+            logits = joint_mod.lattice(h_chunk, g_in)  # (B, tc, U+1, V)
+            lse = jax.nn.logsumexp(logits, axis=-1)
+            lp_blank = logits[..., blank] - lse
+            lab_b = jnp.broadcast_to(
+                lab[:, None, :], (b, h_chunk.shape[1], lab.shape[1])
+            )
+            lp_emit = (
+                jnp.take_along_axis(
+                    logits[:, :, :-1, :], lab_b[..., None], axis=3
+                )[..., 0]
+                - lse[:, :, :-1]
+            )
+            return lp_blank, lp_emit
+
+        chunk_fn = nn.remat(_chunk)
+        outs = [
+            chunk_fn(self.joint, hs_p[:, i * tc: (i + 1) * tc], g, labels_c)
+            for i in range(t_pad // tc)
+        ]
+        lp_blank = jnp.concatenate([o[0] for o in outs], axis=1)[:, :t]
+        lp_emit = jnp.concatenate([o[1] for o in outs], axis=1)[:, :t]
+        return lp_blank, lp_emit
 
     # decoding helpers -------------------------------------------------
     def joint_step(self, h_t: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:

@@ -159,3 +159,27 @@ def test_transducer_tsd_alsd(trained_transducer):
     # on overfit data both should recover the training labels
     assert tsd[0][0] == list(ys[0])
     assert alsd[0][0] == list(ys[0])
+
+
+def test_chunked_lattice_matches_full():
+    rng = np.random.RandomState(9)
+    b, t, d, v, u = 2, 13, 8, 6, 3
+    feats = jnp.asarray(rng.randn(b, t, d).astype(np.float32))
+    ys = jnp.asarray(rng.randint(1, v - 1, (b, u)).astype(np.int32))
+    batch = dict(
+        speech=feats, speech_lengths=jnp.array([t, t - 4]),
+        text=ys, text_lengths=jnp.array([u, u - 1]),
+    )
+    enc = RNNEncoder(elayers=1, eunits=8, eprojs=8)
+    full = TransducerModel(vocab_size=v, encoder=enc, dunits=8, joint_dim=8)
+    chunked = TransducerModel(
+        vocab_size=v, encoder=enc, dunits=8, joint_dim=8, time_chunk=4
+    )
+    variables = full.init(jax.random.PRNGKey(0), **batch)
+    loss_f, _ = full.apply(variables, **batch)
+    loss_c, _ = chunked.apply(variables, **batch)
+    np.testing.assert_allclose(float(loss_f), float(loss_c), rtol=1e-5)
+    g_f = jax.grad(lambda p: full.apply({"params": p}, **batch)[0])(variables["params"])
+    g_c = jax.grad(lambda p: chunked.apply({"params": p}, **batch)[0])(variables["params"])
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_c)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
