@@ -83,10 +83,25 @@ DEFAULT_CONFIG: Dict[str, Any] = {
 }
 
 
-def build_model(config: Dict[str, Any], vocab_size: int) -> ASRModel:
+def build_model(config: Dict[str, Any], vocab_size: int):
     enc_cls = ENCODERS[config["encoder"]]
     enc = enc_cls(**config.get("encoder_conf", {}))
     model_conf = dict(config.get("model_conf", {}))
+    model_type = config.get("model_type", "asr")
+    if model_type == "transducer":
+        from espnet_tpu.models.transducer import TransducerModel
+
+        return TransducerModel(
+            vocab_size=vocab_size, encoder=enc, **model_conf
+        )
+    if model_type == "maskctc":
+        from espnet_tpu.models.asr.maskctc import MaskCTCModel
+
+        dec_cls = DECODERS[config.get("decoder", "transformer")]
+        dec = dec_cls(vocab_size, causal=False, **config.get("decoder_conf", {}))
+        return MaskCTCModel(
+            vocab_size=vocab_size, encoder=enc, decoder=dec, **model_conf
+        )
     dec = None
     if model_conf.get("ctc_weight", 0.5) < 1.0 and config.get("decoder"):
         dec_cls = DECODERS[config["decoder"]]

@@ -108,3 +108,27 @@ def test_nan_skip_does_not_poison(tmp_path):
     flat = jax.tree_util.tree_leaves(state.params)
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)
     assert np.isfinite(float(stats2["loss"]))
+
+
+def test_task_builds_transducer_and_maskctc():
+    from espnet_tpu.tasks.asr import build_model
+    from espnet_tpu.models.transducer import TransducerModel
+    from espnet_tpu.models.asr.maskctc import MaskCTCModel
+
+    cfg_t = {
+        "encoder": "rnn", "encoder_conf": {"elayers": 1, "eunits": 8, "eprojs": 8},
+        "model_type": "transducer", "model_conf": {"dunits": 8, "joint_dim": 8},
+    }
+    assert isinstance(build_model(cfg_t, 7), TransducerModel)
+    cfg_m = {
+        "encoder": "transformer",
+        "encoder_conf": {"attention_dim": 16, "attention_heads": 2,
+                         "linear_units": 16, "num_blocks": 1,
+                         "input_layer": "linear"},
+        "decoder_conf": {"attention_dim": 16, "attention_heads": 2,
+                         "linear_units": 16, "num_blocks": 1},
+        "model_type": "maskctc",
+    }
+    m = build_model(cfg_m, 9)
+    assert isinstance(m, MaskCTCModel)
+    assert m.decoder.causal is False
