@@ -67,3 +67,17 @@ def test_sinusoidal_table():
     pe = np.asarray(sinusoidal_table(4, 6))
     assert pe.shape == (4, 6)
     np.testing.assert_allclose(pe[0], [0, 1, 0, 1, 0, 1], atol=1e-6)
+
+
+def test_lightconv_and_dynamicconv():
+    from espnet_tpu.layers.lightconv import DynamicConvolution, LightweightConvolution
+
+    x = jnp.asarray(np.random.RandomState(4).randn(2, 12, 16).astype(np.float32))
+    for mod in [LightweightConvolution(wshare=4, kernel_size=5),
+                DynamicConvolution(wshare=4, kernel_size=5)]:
+        variables = mod.init(jax.random.PRNGKey(0), x)
+        out = mod.apply(variables, x)
+        assert out.shape == x.shape
+        assert np.isfinite(np.asarray(out)).all()
+        g = jax.grad(lambda p: mod.apply({"params": p}, x).sum())(variables["params"])
+        assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
