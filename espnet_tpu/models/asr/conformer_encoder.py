@@ -82,6 +82,10 @@ class ConformerEncoder(nn.Module):
     input_layer: str = "conv2d"
     use_macaron: bool = True
     use_cnn: bool = True
+    # rematerialize each block in backward (jax.checkpoint): ~30% more
+    # compute for O(num_blocks) less activation memory — lifts the max
+    # trainable batch size
+    remat: bool = False
     dtype: type = jnp.float32
 
     @nn.compact
@@ -102,8 +106,11 @@ class ConformerEncoder(nn.Module):
         )(xs, deterministic=deterministic)
         pad_mask = make_non_pad_mask(olens, xs.shape[1])  # (B, T)
         attn_mask = pad_mask[:, None, :]  # (B, 1, T)
+        layer_cls = ConformerEncoderLayer
+        if self.remat:
+            layer_cls = nn.remat(ConformerEncoderLayer, static_argnums=(5,))
         for _ in range(self.num_blocks):
-            xs = ConformerEncoderLayer(
+            xs = layer_cls(
                 self.attention_dim,
                 self.attention_heads,
                 self.linear_units,
@@ -113,5 +120,5 @@ class ConformerEncoder(nn.Module):
                 self.use_macaron,
                 self.use_cnn,
                 dtype=self.dtype,
-            )(xs, pos_emb, attn_mask, pad_mask, deterministic=deterministic)
+            )(xs, pos_emb, attn_mask, pad_mask, deterministic)
         return xs.astype(jnp.float32), olens
