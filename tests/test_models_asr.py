@@ -147,13 +147,18 @@ def test_rnn_decoder_attention_variants(att_type):
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g))
 
 
-def test_conformer_remat_matches():
+def test_conformer_remat_forward_backward():
     xs, ilens, _, _ = _batch(seed=11)
-    kw = dict(attention_dim=16, attention_heads=2, linear_units=16,
-              num_blocks=2, cnn_kernel=7)
-    enc = ConformerEncoder(**kw)
-    enc_r = ConformerEncoder(**kw, remat=True)
-    v = enc.init(jax.random.PRNGKey(0), xs, ilens)
-    h1, _ = enc.apply(v, xs, ilens)
-    h2, _ = enc_r.apply(v, xs, ilens)
-    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-5, atol=1e-5)
+    enc_r = ConformerEncoder(
+        attention_dim=16, attention_heads=2, linear_units=16,
+        num_blocks=2, cnn_kernel=7, remat=True,
+    )
+    v = enc_r.init(jax.random.PRNGKey(0), xs, ilens)
+    h, _ = enc_r.apply(v, xs, ilens)
+    assert np.isfinite(np.asarray(h)).all()
+    g = jax.grad(lambda p: enc_r.apply({"params": p}, xs, ilens)[0].sum())(
+        v["params"]
+    )
+    assert all(
+        np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g)
+    )
