@@ -234,3 +234,31 @@ def test_teacher_alignment_durations(tmp_path):
     for b in range(2):
         assert dur[b].sum() == feat_lens[b], (dur[b], feat_lens[b])
         assert dur[b, int(tlens[b]):].sum() >= 0
+
+
+def test_wavenet_train_and_generate():
+    from espnet_tpu.models.tts.wavenet import WaveNet, mulaw_decode, mulaw_encode
+
+    # mu-law roundtrip
+    x = jnp.asarray(np.linspace(-0.9, 0.9, 64, dtype=np.float32))
+    enc = mulaw_encode(x)
+    dec = mulaw_decode(enc)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(x), atol=0.02)
+
+    rng = np.random.RandomState(0)
+    model = WaveNet(
+        quantize=64, layers=4, stacks=2, residual_channels=8,
+        gate_channels=8, skip_channels=8, aux_channels=5, upsample_factor=16,
+    )
+    audio = jnp.asarray(rng.randn(2, 128).astype(np.float32) * 0.2)
+    feats = jnp.asarray(rng.randn(2, 8, 5).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), audio, feats)
+    (loss, stats), grads = jax.value_and_grad(
+        lambda p: model.apply({"params": p}, audio, feats), has_aux=True
+    )(variables["params"])
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree_util.tree_leaves(grads))
+
+    wav = model.apply(variables, feats[:1], 40, method="generate")
+    assert wav.shape == (40,)
+    assert np.isfinite(np.asarray(wav)).all()
