@@ -262,3 +262,30 @@ def test_wavenet_train_and_generate():
     wav = model.apply(variables, feats[:1], 40, method="generate")
     assert wav.shape == (40,)
     assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_zoneout_and_cbhg():
+    from espnet_tpu.layers.tacotron_extras import CBHG, ZoneOutLSTMCell
+
+    rng = np.random.RandomState(1)
+    cell = ZoneOutLSTMCell(8, zoneout_rate=0.3)
+    x = jnp.asarray(rng.randn(2, 4).astype(np.float32))
+    carry = (jnp.zeros((2, 8)), jnp.zeros((2, 8)))
+    variables = cell.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        carry, x,
+    )
+    (c, h), y = cell.apply(variables, carry, x)  # deterministic
+    assert np.isfinite(np.asarray(h)).all()
+    (c2, h2), _ = cell.apply(
+        variables, carry, x, False, rngs={"dropout": jax.random.PRNGKey(2)}
+    )
+    assert np.isfinite(np.asarray(h2)).all()
+
+    cbhg = CBHG(out_dim=17, conv_bank_k=4, conv_bank_chans=8, proj_chans=8,
+                highway_layers=2, gru_units=8)
+    mel = jnp.asarray(rng.randn(2, 12, 10).astype(np.float32))
+    variables = cbhg.init(jax.random.PRNGKey(0), mel, jnp.array([12, 9]))
+    out = cbhg.apply(variables, mel, jnp.array([12, 9]))
+    assert out.shape == (2, 12, 17)
+    assert np.isfinite(np.asarray(out)).all()
