@@ -160,6 +160,7 @@ class Tacotron2(nn.Module):
     aconv_chans: int = 32
     aconv_filts: int = 15
     reduction_factor: int = 1
+    spk_embed_dim: int = 0   # >0: x-vector conditioning (spemb concat)
     use_guided_attn_loss: bool = True
     guided_attn_sigma: float = 0.4
     guided_attn_lambda: float = 1.0
@@ -187,6 +188,19 @@ class Tacotron2(nn.Module):
             self.aconv_filts,
         )
         self.postnet = Postnet(self.n_mels, self.postnet_chans)
+        if self.spk_embed_dim > 0:
+            self.spemb_proj = nn.Dense(self.embed_dim)
+
+    def _condition(self, enc_h, spemb):
+        """Concat a projected speaker embedding to every encoder frame
+        (reference spk_embed integration, e2e_tts_tacotron2.py)."""
+        if self.spk_embed_dim == 0 or spemb is None:
+            return enc_h
+        emb = nn.tanh(self.spemb_proj(spemb))[:, None, :]
+        return jnp.concatenate(
+            [enc_h, jnp.broadcast_to(emb, (enc_h.shape[0], enc_h.shape[1], emb.shape[-1]))],
+            axis=-1,
+        )
 
     def _decode_teacher(self, enc_h, hlens, ys, deterministic):
         """ys: (B, Tdec, n_mels) ground-truth frames (Tdec divisible by r)."""
@@ -223,9 +237,11 @@ class Tacotron2(nn.Module):
         text_lengths: jnp.ndarray,
         speech: jnp.ndarray,        # (B, Tdec, n_mels) target feats
         speech_lengths: jnp.ndarray,
+        spembs: jnp.ndarray = None,  # (B, spk_embed_dim) x-vectors
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         enc_h = self.enc(text, text_lengths, deterministic)
+        enc_h = self._condition(enc_h, spembs)
         before, stop_logits, att_ws = self._decode_teacher(
             enc_h, text_lengths, speech, deterministic
         )
@@ -270,6 +286,7 @@ class Tacotron2(nn.Module):
         threshold: float = 0.5,
         maxlenratio: float = 10.0,
         minlenratio: float = 0.0,
+        spembs: jnp.ndarray = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Autoregressive synthesis → (feats (B, Tmax, n_mels), lengths,
         att_ws). Static Tmax = maxlenratio * L; stop via threshold."""
@@ -278,6 +295,7 @@ class Tacotron2(nn.Module):
         maxsteps = max(int(maxlenratio * l) // r, 1)
         minsteps = int(minlenratio * l) // r
         enc_h = self.enc(text, text_lengths, True)
+        enc_h = self._condition(enc_h, spembs)
         mask = make_non_pad_mask(text_lengths, l)
         enc_proj = self.dec_step.att.pre_compute(enc_h)
         states, att_prev, prev0 = self.dec_step.init_state(b, l, text_lengths, enc_h.dtype)

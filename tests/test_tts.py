@@ -289,3 +289,23 @@ def test_zoneout_and_cbhg():
     out = cbhg.apply(variables, mel, jnp.array([12, 9]))
     assert out.shape == (2, 12, 17)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tacotron2_speaker_embedding():
+    text, tlens, speech, slens = _batch(4)
+    model = Tacotron2(
+        vocab_size=V, n_mels=MELS, embed_dim=16, enc_conv_layers=1,
+        enc_conv_chans=16, enc_blstm_units=16, dunits=16, dlayers=1,
+        prenet_units=8, postnet_chans=16, att_dim=8, aconv_chans=2,
+        aconv_filts=3, spk_embed_dim=12,
+    )
+    spembs = jnp.asarray(np.random.RandomState(5).randn(B, 12).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        text, tlens, speech, slens, spembs,
+    )
+    loss, stats = model.apply(
+        variables, text, tlens, speech, slens, spembs,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    assert np.isfinite(float(loss))
