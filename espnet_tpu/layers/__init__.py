@@ -10,6 +10,8 @@ from espnet_tpu.layers.attention import (
 from espnet_tpu.layers.feed_forward import PositionwiseFeedForward
 from espnet_tpu.layers.subsampling import Conv2dSubsampling
 from espnet_tpu.layers.convolution import ConformerConvModule
+from espnet_tpu.layers.lightconv import DynamicConvolution, LightweightConvolution
+from espnet_tpu.layers.tacotron_extras import CBHG, ZoneOutLSTMCell
 
 __all__ = [
     "PositionalEncoding",
@@ -20,4 +22,8 @@ __all__ = [
     "PositionwiseFeedForward",
     "Conv2dSubsampling",
     "ConformerConvModule",
+    "LightweightConvolution",
+    "DynamicConvolution",
+    "ZoneOutLSTMCell",
+    "CBHG",
 ]
