@@ -159,3 +159,40 @@ def test_chunk_iter_factory(tmp_path):
     b1 = [b["speech_mix"].sum() for b in it(3)]
     b2 = [b["speech_mix"].sum() for b in it(3)]
     assert b1 == b2
+
+
+def test_espnet1_data_json_roundtrip(tmp_path):
+    from espnet_tpu.data.espnet1_json import (
+        Espnet1JsonDataset,
+        read_data_json,
+        write_data_json,
+    )
+    from espnet_tpu.data.kaldi_io import ArkScpWriter, read_scp
+
+    rng = np.random.RandomState(0)
+    mats = {f"utt{i}": rng.randn(6 + i, 4).astype(np.float32) for i in range(3)}
+    with ArkScpWriter(tmp_path / "feats.ark", tmp_path / "feats.scp") as w:
+        for k, v in mats.items():
+            w[k] = v
+    scp = read_scp(tmp_path / "feats.scp")
+    tokenids = {k: [1, 2, 3 + i] for i, k in enumerate(mats)}
+    shapes = {k: v.shape for k, v in mats.items()}
+    write_data_json(
+        tmp_path / "data.json", scp, tokenids, shapes, odim=10,
+        utt2spk={k: "spkA" for k in mats},
+    )
+    utts = read_data_json(tmp_path / "data.json")
+    assert utts["utt0"]["output"][0]["shape"] == [3, 10]
+    assert utts["utt0"]["utt2spk"] == "spkA"
+
+    ds = Espnet1JsonDataset(tmp_path / "data.json")
+    assert ds.shapes()["utt1"] == (7, 4)
+    sample = ds["utt2"]
+    np.testing.assert_allclose(sample["speech"], mats["utt2"], rtol=1e-6)
+    np.testing.assert_array_equal(sample["text"], [1, 2, 5])
+
+    # feeds the standard batching machinery
+    from espnet_tpu.data.dataset import common_collate
+
+    batch = common_collate([ds[k] for k in ds.keys])
+    assert batch["speech"].shape[0] == 3 and "text_lengths" in batch
