@@ -258,3 +258,60 @@ def transducer_alsd_decode(
     key = (lambda h: h.score / max(len(h.yseq), 1)) if score_norm else (lambda h: h.score)
     pool.sort(key=key, reverse=True)
     return [(list(h.yseq), h.score) for h in pool[:beam_size]]
+
+
+def transducer_nsc_decode(
+    model,
+    variables,
+    hs: jnp.ndarray,     # (1, T, D)
+    hlen: int,
+    beam_size: int = 5,
+    nstep: int = 2,
+    score_norm: bool = True,
+) -> List[Tuple[List[int], float]]:
+    """N-step constrained beam search (beam_search_transducer.py:466,
+    after Kim et al. 2020): per frame, at most `nstep` label expansions;
+    only the top `beam_size` expansions survive each micro-step, blank
+    extensions accumulate into the next frame's beam with logaddexp
+    merging of identical prefixes."""
+    blank = model.blank
+    joint = jax.jit(lambda h, g: model.apply(variables, h, g, method="joint_step"))
+    pred = jax.jit(lambda c, t: model.apply(variables, c, t, method="pred_step"))
+
+    carry0 = model.apply(variables, 1, method="pred_init")
+    _, g0 = pred(carry0, jnp.zeros((1,), jnp.int32))
+    B = [_Hyp(0.0, (), carry0, g0)]
+
+    for t in range(int(hlen)):
+        h_t = hs[:, t]
+        next_frame: dict = {}
+        cur = B
+        for n in range(nstep):
+            expansions = []
+            for hyp in cur:
+                logp = np.asarray(joint(h_t, hyp.g)[0])
+                cand = _Hyp(hyp.score + float(logp[blank]), hyp.yseq, hyp.carry, hyp.g)
+                if cand.yseq in next_frame:
+                    next_frame[cand.yseq].score = float(
+                        np.logaddexp(next_frame[cand.yseq].score, cand.score)
+                    )
+                else:
+                    next_frame[cand.yseq] = cand
+                if n < nstep:
+                    order = np.argsort(-logp)[: beam_size + 1]
+                    for v in order:
+                        if v == blank:
+                            continue
+                        expansions.append((hyp, int(v), hyp.score + float(logp[v])))
+            if not expansions:
+                break
+            expansions.sort(key=lambda e: e[2], reverse=True)
+            cur = []
+            for hyp, v, sc in expansions[:beam_size]:
+                new_carry, new_g = pred(hyp.carry, jnp.array([v], jnp.int32))
+                cur.append(_Hyp(sc, hyp.yseq + (v,), new_carry, new_g))
+        B = sorted(next_frame.values(), key=lambda h: h.score, reverse=True)[:beam_size]
+
+    key = (lambda h: h.score / max(len(h.yseq), 1)) if score_norm else (lambda h: h.score)
+    B.sort(key=key, reverse=True)
+    return [(list(h.yseq), h.score) for h in B]

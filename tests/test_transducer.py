@@ -183,3 +183,14 @@ def test_chunked_lattice_matches_full():
     g_c = jax.grad(lambda p: chunked.apply({"params": p}, **batch)[0])(variables["params"])
     for a, b_ in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_c)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
+
+
+def test_transducer_nsc(trained_transducer):
+    from espnet_tpu.search.transducer import transducer_nsc_decode
+
+    model, variables, batch, ys = trained_transducer
+    hs, hlens = model.apply(
+        variables, batch["speech"], batch["speech_lengths"], method="encode"
+    )
+    nsc = transducer_nsc_decode(model, variables, hs[:1], int(hlens[0]), beam_size=3)
+    assert nsc and nsc[0][0] == list(ys[0])
