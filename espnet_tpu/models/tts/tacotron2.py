@@ -161,6 +161,8 @@ class Tacotron2(nn.Module):
     aconv_filts: int = 15
     reduction_factor: int = 1
     spk_embed_dim: int = 0   # >0: x-vector conditioning (spemb concat)
+    use_cbhg: bool = False   # CBHG post-module → linear spectrogram
+    spc_dim: int = 0         # linear-spectrogram bins (use_cbhg)
     use_guided_attn_loss: bool = True
     guided_attn_sigma: float = 0.4
     guided_attn_lambda: float = 1.0
@@ -190,6 +192,10 @@ class Tacotron2(nn.Module):
         self.postnet = Postnet(self.n_mels, self.postnet_chans)
         if self.spk_embed_dim > 0:
             self.spemb_proj = nn.Dense(self.embed_dim)
+        if self.use_cbhg:
+            from espnet_tpu.layers.tacotron_extras import CBHG
+
+            self.cbhg = CBHG(out_dim=self.spc_dim)
 
     def _condition(self, enc_h, spemb):
         """Concat a projected speaker embedding to every encoder frame
@@ -238,6 +244,7 @@ class Tacotron2(nn.Module):
         speech: jnp.ndarray,        # (B, Tdec, n_mels) target feats
         speech_lengths: jnp.ndarray,
         spembs: jnp.ndarray = None,  # (B, spk_embed_dim) x-vectors
+        spc: jnp.ndarray = None,     # (B, Tdec, spc_dim) linear-spec target
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         enc_h = self.enc(text, text_lengths, deterministic)
@@ -276,6 +283,15 @@ class Tacotron2(nn.Module):
             )
             loss = loss + self.guided_attn_lambda * ga
             stats["attn_loss"] = ga
+        if self.use_cbhg and spc is not None:
+            spc_pred = self.cbhg(after, speech_lengths, deterministic)
+            cmask = make_non_pad_mask(speech_lengths, t_dec)[..., None]
+            n_spc = jnp.maximum(cmask.sum(), 1) * self.spc_dim
+            cbhg_loss = (
+                (jnp.abs(spc_pred - spc) + (spc_pred - spc) ** 2) * cmask
+            ).sum() / n_spc
+            loss = loss + cbhg_loss
+            stats["cbhg_loss"] = cbhg_loss
         stats["loss"] = loss
         return loss, stats
 

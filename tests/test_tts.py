@@ -309,3 +309,23 @@ def test_tacotron2_speaker_embedding():
         rngs={"dropout": jax.random.PRNGKey(2)},
     )
     assert np.isfinite(float(loss))
+
+
+def test_tacotron2_cbhg_linear_output():
+    text, tlens, speech, slens = _batch(6)
+    spc = jnp.asarray(np.random.RandomState(7).randn(B, TDEC, 17).astype(np.float32))
+    model = Tacotron2(
+        vocab_size=V, n_mels=MELS, embed_dim=16, enc_conv_layers=1,
+        enc_conv_chans=16, enc_blstm_units=16, dunits=16, dlayers=1,
+        prenet_units=8, postnet_chans=16, att_dim=8, aconv_chans=2,
+        aconv_filts=3, use_cbhg=True, spc_dim=17,
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        text, tlens, speech, slens, None, spc,
+    )
+    loss, stats = model.apply(
+        variables, text, tlens, speech, slens, None, spc,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    assert "cbhg_loss" in stats and np.isfinite(float(loss))
