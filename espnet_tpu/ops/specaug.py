@@ -25,7 +25,8 @@ def mask_along_axis(
     mask_width_range: tuple[int, int],
     num_mask: int,
     axis: int,
-    mask_value: float = 0.0,
+    mask_value="zero",  # "zero" | "mean" | float (reference
+                        # replace_with_zero true/false, spec_augment.py)
 ) -> jnp.ndarray:
     """Randomly mask `num_mask` stripes along `axis` of ``(B, T, D)``."""
     b = x.shape[0]
@@ -46,7 +47,13 @@ def mask_along_axis(
     shape = [b, 1, 1]
     shape[axis] = size
     mask = mask.reshape(shape)
-    return jnp.where(mask, mask_value, x)
+    if mask_value == "mean":
+        fill = x.mean(axis=(1, 2), keepdims=True)
+    elif mask_value == "zero":
+        fill = 0.0
+    else:
+        fill = mask_value
+    return jnp.where(mask, fill, x)
 
 
 def time_warp(rng: jax.Array, x: jnp.ndarray, window: int = 5) -> jnp.ndarray:
@@ -89,13 +96,20 @@ def spec_augment(
     apply_time_mask: bool = True,
     time_mask_width_range: tuple[int, int] = (0, 100),
     num_time_mask: int = 2,
+    mask_value="zero",
 ) -> jnp.ndarray:
     """Full SpecAugment pipeline on ``(B, T, D)`` log-mel features."""
     r_warp, r_freq, r_time = jax.random.split(rng, 3)
     if apply_time_warp:
         x = time_warp(r_warp, x, time_warp_window)
     if apply_freq_mask:
-        x = mask_along_axis(r_freq, x, freq_mask_width_range, num_freq_mask, axis=2)
+        x = mask_along_axis(
+            r_freq, x, freq_mask_width_range, num_freq_mask, axis=2,
+            mask_value=mask_value,
+        )
     if apply_time_mask:
-        x = mask_along_axis(r_time, x, time_mask_width_range, num_time_mask, axis=1)
+        x = mask_along_axis(
+            r_time, x, time_mask_width_range, num_time_mask, axis=1,
+            mask_value=mask_value,
+        )
     return x
