@@ -1,0 +1,83 @@
+"""CLI: enhancement/separation scoring (reference: espnet2/bin/
+enh_scoring.py): SI-SNR and SDR between reference and estimated wav
+scps, with PIT over speaker orderings.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from itertools import permutations
+from pathlib import Path
+
+import numpy as np
+
+
+def sdr(est: np.ndarray, ref: np.ndarray, eps: float = 1e-8) -> float:
+    num = float((ref**2).sum())
+    den = float(((est - ref) ** 2).sum())
+    return 10.0 * np.log10(num / max(den, eps) + eps)
+
+
+def si_snr_np(est: np.ndarray, ref: np.ndarray, eps: float = 1e-8) -> float:
+    est = est - est.mean()
+    ref = ref - ref.mean()
+    proj = (est @ ref) / max(float(ref @ ref), eps) * ref
+    noise = est - proj
+    return 10.0 * np.log10(
+        max(float((proj**2).sum()), eps) / max(float((noise**2).sum()), eps)
+    )
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--ref_scp", nargs="+", required=True)
+    parser.add_argument("--est_scp", nargs="+", required=True)
+    parser.add_argument("--output_dir", required=True)
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    from espnet_tpu.data.kaldi_io import read_scp
+    from espnet_tpu.data.wav import read_wav
+
+    refs = [read_scp(p) for p in args.ref_scp]
+    ests = [read_scp(p) for p in args.est_scp]
+    n_spk = len(refs)
+    assert len(ests) == n_spk
+
+    totals = {"si_snr": 0.0, "sdr": 0.0}
+    n = 0
+    per_utt = {}
+    for uid in refs[0]:
+        r = [read_wav(t[uid])[1] for t in refs]
+        e = [read_wav(t[uid])[1] for t in ests]
+        ln = min(min(len(x) for x in r), min(len(x) for x in e))
+        r = [x[:ln] for x in r]
+        e = [x[:ln] for x in e]
+        best = None
+        for perm in permutations(range(n_spk)):
+            score = np.mean([si_snr_np(e[i], r[p]) for i, p in enumerate(perm)])
+            if best is None or score > best[0]:
+                best = (score, perm)
+        score, perm = best
+        sdr_v = float(np.mean([sdr(e[i], r[p]) for i, p in enumerate(perm)]))
+        per_utt[uid] = {"si_snr": score, "sdr": sdr_v}
+        totals["si_snr"] += score
+        totals["sdr"] += sdr_v
+        n += 1
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    summary = {k: v / max(n, 1) for k, v in totals.items()}
+    summary["num_utts"] = n
+    (out / "summary.json").write_text(json.dumps(summary))
+    with open(out / "per_utt.json", "w") as f:
+        json.dump(per_utt, f, indent=1)
+    logging.info("SI-SNR %.2f dB, SDR %.2f dB over %d utts",
+                 summary["si_snr"], summary["sdr"], n)
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -137,3 +137,28 @@ def test_maskctc_train_and_decode():
     assert len(hyps) == 2
     for h in hyps:
         assert all(0 < t < v - 1 for t in h)  # no masks or blanks remain
+
+
+def test_enh_scoring_cli(tmp_path):
+    from espnet_tpu.bin import enh_scoring
+    from espnet_tpu.data.kaldi_io import write_scp
+    from espnet_tpu.data.wav import write_wav
+
+    rng = np.random.RandomState(0)
+    r1 = rng.randn(4000).astype(np.float32) * 0.3
+    r2 = rng.randn(4000).astype(np.float32) * 0.3
+    for name, wav in [("r1", r1), ("r2", r2),
+                      ("e1", r2 + 0.01 * rng.randn(4000).astype(np.float32)),
+                      ("e2", r1 + 0.01 * rng.randn(4000).astype(np.float32))]:
+        write_wav(tmp_path / f"{name}.wav", 8000, wav)
+    write_scp(tmp_path / "ref1.scp", {"u0": str(tmp_path / "r1.wav")})
+    write_scp(tmp_path / "ref2.scp", {"u0": str(tmp_path / "r2.wav")})
+    # estimates intentionally SWAPPED — PIT must still find high SI-SNR
+    write_scp(tmp_path / "est1.scp", {"u0": str(tmp_path / "e1.wav")})
+    write_scp(tmp_path / "est2.scp", {"u0": str(tmp_path / "e2.wav")})
+    summary = enh_scoring.main([
+        "--ref_scp", str(tmp_path / "ref1.scp"), str(tmp_path / "ref2.scp"),
+        "--est_scp", str(tmp_path / "est1.scp"), str(tmp_path / "est2.scp"),
+        "--output_dir", str(tmp_path / "score"),
+    ])
+    assert summary["si_snr"] > 20, summary
