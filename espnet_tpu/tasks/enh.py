@@ -1,0 +1,109 @@
+"""Enhancement/separation task (reference: espnet2/tasks/enh.py):
+config → separator (tf_masking | tasnet) → EnhancementModel, trained on
+fixed-length chunks (ChunkIterFactory) with PIT SI-SNR.
+
+Data triplets: speech_mix (mixture wav scp) + speech_ref1..N (reference
+wav scps, stacked into (B, n_spk, L) by the chunk collate below).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from espnet_tpu.data.dataset import ChunkIterFactory, ESPnetDataset
+from espnet_tpu.models.enh import EnhancementModel, TFMaskingNet
+from espnet_tpu.models.enh.tasnet import ConvTasNet
+from espnet_tpu.utils.config import save_yaml
+
+SEPARATORS = {"tf_masking": TFMaskingNet, "tasnet": ConvTasNet}
+
+DEFAULT_CONFIG: Dict[str, Any] = {
+    "separator": "tf_masking",
+    "separator_conf": {},
+    "n_spk": 2,
+    "chunk_length": 16000,
+    "optim": "adam",
+    "optim_conf": {"lr": 1e-3},
+    "grad_clip": 5.0,
+    "max_epoch": 20,
+    "batch_size": 8,
+    "seed": 0,
+    "log_interval": 100,
+    "keep_nbest": 5,
+}
+
+
+def build_enh_model(config: Dict[str, Any]) -> EnhancementModel:
+    n_spk = config.get("n_spk", 2)
+    sep_cls = SEPARATORS[config.get("separator", "tf_masking")]
+    sep = sep_cls(n_spk=n_spk, **config.get("separator_conf", {}))
+    return EnhancementModel(separator=sep, n_spk=n_spk)
+
+
+class _EnhChunkCollate:
+    """Stack per-speaker refs into speech_ref (B, n_spk, L)."""
+
+    def __init__(self, n_spk: int):
+        self.n_spk = n_spk
+
+    def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        refs = [batch.pop(f"speech_ref{i+1}") for i in range(self.n_spk)]
+        batch["speech_ref"] = np.stack(refs, axis=1)
+        return batch
+
+
+def train(
+    config: Dict[str, Any],
+    train_data: List[Tuple[str, str, str]],
+    valid_data: List[Tuple[str, str, str]],
+    expdir: str,
+):
+    from espnet_tpu.tasks.asr import build_tx
+    from espnet_tpu.train.trainer import Trainer
+
+    model = build_enh_model(config)
+    tx = build_tx(config)
+    n_spk = config.get("n_spk", 2)
+    collate = _EnhChunkCollate(n_spk)
+
+    def iter_factory(data):
+        ds = ESPnetDataset(data)
+        shapes = {uid: ds[uid]["speech_mix"].shape for uid in ds.keys}
+        chunk = ChunkIterFactory(
+            ds,
+            shapes,
+            chunk_length=config.get("chunk_length", 16000),
+            batch_size=config.get("batch_size", 8),
+            seed=config.get("seed", 0),
+            speech_name="speech_mix",
+        )
+
+        def factory(epoch):
+            for batch in chunk(epoch):
+                yield collate(batch)
+
+        return factory
+
+    train_iter = iter_factory(train_data)
+    valid_iter = iter_factory(valid_data)
+    trainer = Trainer(
+        model, tx, expdir=expdir,
+        max_epoch=config.get("max_epoch", 20),
+        keep_nbest=config.get("keep_nbest", 5),
+        log_interval=config.get("log_interval", 100),
+        best_key="loss",
+    )
+    first = next(iter(train_iter(1)))
+    variables = model.init(
+        jax.random.PRNGKey(config.get("seed", 0)),
+        first["speech_mix"], first["speech_mix_lengths"], first["speech_ref"],
+    )
+    save_yaml(Path(expdir) / "config.yaml", config)
+    state = trainer.init_state(variables, seed=config.get("seed", 0))
+    state = trainer.resume(state)
+    state = trainer.run(state, train_iter, valid_iter)
+    trainer.average_best_params(state)
+    return trainer

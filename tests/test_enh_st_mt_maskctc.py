@@ -162,3 +162,41 @@ def test_enh_scoring_cli(tmp_path):
         "--output_dir", str(tmp_path / "score"),
     ])
     assert summary["si_snr"] > 20, summary
+
+
+def test_enh_task_train(tmp_path):
+    from espnet_tpu.data.kaldi_io import write_scp
+    from espnet_tpu.data.wav import write_wav
+    from espnet_tpu.tasks import enh as enh_task
+
+    rng = np.random.RandomState(0)
+    mix_scp, r1_scp, r2_scp = {}, {}, {}
+    for i in range(4):
+        n = 3000
+        t = np.arange(n) / 8000
+        s1 = (0.4 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+        s2 = (rng.randn(n) * 0.2).astype(np.float32)
+        for tag, wav, scp in [("s1", s1, r1_scp), ("s2", s2, r2_scp),
+                              ("mix", s1 + s2, mix_scp)]:
+            p = tmp_path / f"u{i}_{tag}.wav"
+            write_wav(p, 8000, wav)
+            scp[f"u{i}"] = str(p)
+    write_scp(tmp_path / "mix.scp", mix_scp)
+    write_scp(tmp_path / "ref1.scp", r1_scp)
+    write_scp(tmp_path / "ref2.scp", r2_scp)
+    data = [
+        (str(tmp_path / "mix.scp"), "speech_mix", "sound"),
+        (str(tmp_path / "ref1.scp"), "speech_ref1", "sound"),
+        (str(tmp_path / "ref2.scp"), "speech_ref2", "sound"),
+    ]
+    config = {
+        "separator": "tf_masking",
+        "separator_conf": {"n_fft": 128, "hop_length": 64, "units": 16, "layers": 1},
+        "n_spk": 2, "chunk_length": 1024, "batch_size": 4,
+        "optim": "adam", "optim_conf": {"lr": 1e-3},
+        "max_epoch": 3, "log_interval": 1000,
+    }
+    trainer = enh_task.train(config, data, data, str(tmp_path / "exp"))
+    r = trainer.reporter
+    assert r.get(3, "train", "loss") < r.get(1, "train", "loss")
+    assert (tmp_path / "exp" / "valid.loss.best.ckpt").exists()
