@@ -141,3 +141,31 @@ def model_summary(params) -> str:
         lines.append(f"{name}: {tuple(_np.shape(leaf))} = {n:,}")
     lines.append(f"Total parameters: {total:,} ({total * 4 / 1e6:.1f} MB f32)")
     return "\n".join(lines)
+
+
+def bleu(refs, hyps, max_n: int = 4) -> float:
+    """Corpus BLEU (uniform n-gram weights, brevity penalty) — the
+    reference reports BLEU for MT/ST via multi-bleu/sacrebleu."""
+    import math
+    from collections import Counter
+
+    def ngrams(seq, n):
+        return Counter(tuple(seq[i: i + n]) for i in range(len(seq) - n + 1))
+
+    max_n = max(1, min(max_n, max((len(h) for h in hyps), default=1),
+                       max((len(r) for r in refs), default=1)))
+    log_precisions = []
+    for n in range(1, max_n + 1):
+        match = total = 0
+        for ref, hyp in zip(refs, hyps):
+            h = ngrams(hyp, n)
+            r = ngrams(ref, n)
+            match += sum(min(c, r[g]) for g, c in h.items())
+            total += max(sum(h.values()), 0)
+        if total == 0 or match == 0:
+            return 0.0
+        log_precisions.append(math.log(match / total))
+    ref_len = sum(len(r) for r in refs)
+    hyp_len = sum(len(h) for h in hyps)
+    bp = 1.0 if hyp_len > ref_len else math.exp(1 - ref_len / max(hyp_len, 1))
+    return bp * math.exp(sum(log_precisions) / max_n)
