@@ -37,6 +37,8 @@ def main(argv=None):
     parser.add_argument("--lm_config", default=None)
     parser.add_argument("--lm_ckpt", default=None)
     parser.add_argument("--lm_weight", type=float, default=0.0)
+    parser.add_argument("--transducer_search", default="greedy",
+                        choices=["greedy", "default", "tsd", "alsd", "nsc"])
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -47,6 +49,11 @@ def main(argv=None):
     from espnet_tpu.utils.metrics import ErrorCalculator, sclite_report
 
     model, variables, token_list = build_model_from_file(args.config, args.ckpt)
+
+    from espnet_tpu.models.transducer import TransducerModel
+
+    if isinstance(model, TransducerModel):
+        return _transducer_recog(args, model, variables, token_list)
 
     lm = lm_vars = None
     if args.lm_config and args.lm_ckpt:
@@ -114,3 +121,69 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def _transducer_recog(args, model, variables, token_list):
+    """Transducer decode path (greedy jittable or host beam variants)."""
+    import jax.numpy as jnp
+
+    from espnet_tpu.data.dataset import ESPnetDataset, common_collate
+    from espnet_tpu.data.kaldi_io import read_scp
+    from espnet_tpu.search.transducer import (
+        transducer_alsd_decode,
+        transducer_beam_decode,
+        transducer_greedy_decode,
+        transducer_nsc_decode,
+        transducer_tsd_decode,
+    )
+    from espnet_tpu.utils.metrics import edit_distance, sclite_report
+
+    data = [tuple(s.split(",")) for s in args.data]
+    ds = ESPnetDataset(data)
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    space = "<space>"
+    hyps = {}
+    beam_fns = {
+        "default": transducer_beam_decode,
+        "tsd": transducer_tsd_decode,
+        "alsd": transducer_alsd_decode,
+        "nsc": transducer_nsc_decode,
+    }
+    for i in range(0, len(ds.keys), args.batch_size):
+        kb = ds.keys[i: i + args.batch_size]
+        batch = common_collate([ds[k] for k in kb])
+        hs, hlens = model.apply(
+            variables, jnp.asarray(batch["speech"]),
+            jnp.asarray(batch["speech_lengths"]), method="encode",
+        )
+        if args.transducer_search == "greedy":
+            ids, lens = transducer_greedy_decode(model, variables, hs, hlens)
+            ids, lens = np.asarray(ids), np.asarray(lens)
+            results = [
+                [int(x) for x in ids[b][: lens[b]]] for b in range(len(kb))
+            ]
+        else:
+            fn = beam_fns[args.transducer_search]
+            results = [
+                fn(model, variables, hs[b: b + 1], int(hlens[b]),
+                   beam_size=args.beam_size)[0][0]
+                for b in range(len(kb))
+            ]
+        for k, seq in zip(kb, results):
+            toks = [token_list[t] for t in seq if 0 <= t < len(token_list)]
+            hyps[k] = "".join(" " if t == space else t for t in toks)
+            logging.info("%s: %s", k, hyps[k])
+    with open(out / "text", "w") as f:
+        for k, v in hyps.items():
+            f.write(f"{k} {v}\n")
+    if args.text:
+        refs = read_scp(args.text)
+        word_pairs = {k: (refs[k].split(), hyps[k].split()) for k in hyps if k in refs}
+        (out / "result.wrd.txt").write_text(sclite_report(word_pairs))
+        n_w = sum(len(r) for r, _ in word_pairs.values())
+        wer = sum(edit_distance(r, h) for r, h in word_pairs.values()) / max(n_w, 1)
+        summary = {"wer": wer, "num_utts": len(word_pairs)}
+        (out / "summary.json").write_text(json.dumps(summary))
+        logging.info("WER=%.2f%%", wer * 100)
+        return summary

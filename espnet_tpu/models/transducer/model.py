@@ -92,6 +92,8 @@ class TransducerModel(nn.Module):
 
     vocab_size: int
     encoder: nn.Module
+    frontend: Optional[nn.Module] = None
+    normalize: Optional[nn.Module] = None
     dunits: int = 256
     dlayers: int = 1
     joint_dim: int = 256
@@ -111,6 +113,10 @@ class TransducerModel(nn.Module):
             self.ctc = CTCHead(self.vocab_size)
 
     def encode(self, speech, speech_lengths, deterministic: bool = True):
+        if self.frontend is not None:
+            speech, speech_lengths = self.frontend(speech, speech_lengths)
+        if self.normalize is not None:
+            speech = self.normalize(speech, speech_lengths)
         return self.encoder(speech, speech_lengths, deterministic=deterministic)
 
     def __call__(

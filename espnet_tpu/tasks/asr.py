@@ -91,8 +91,20 @@ def build_model(config: Dict[str, Any], vocab_size: int):
     if model_type == "transducer":
         from espnet_tpu.models.transducer import TransducerModel
 
+        t_frontend = None
+        if config.get("frontend") == "default":
+            t_frontend = DefaultFrontend(**config.get("frontend_conf", {}))
+        t_normalize = None
+        if config.get("normalize") == "global_mvn":
+            fd = (
+                config.get("frontend_conf", {}).get("n_mels", 80)
+                if t_frontend is not None
+                else config.get("input_size", 80)
+            )
+            t_normalize = GlobalMVN(feat_dim=fd)
         return TransducerModel(
-            vocab_size=vocab_size, encoder=enc, **model_conf
+            vocab_size=vocab_size, encoder=enc,
+            frontend=t_frontend, normalize=t_normalize, **model_conf
         )
     if model_type == "maskctc":
         from espnet_tpu.models.asr.maskctc import MaskCTCModel
