@@ -16,13 +16,13 @@ import numpy as np
 
 from espnet_tpu.data.batching import make_batches, pad_batch
 from espnet_tpu.data.kaldi_io import load_scp_entry, read_scp
-from espnet_tpu.data.wav import read_wav
+from espnet_tpu.data.wav import read_audio
 
 INT_PAD = -1  # text padding (ignore_id), reference convention
 
 
 def _load_sound(path: str) -> np.ndarray:
-    _, wav = read_wav(path)
+    _, wav = read_audio(path)
     if wav.ndim > 1:
         wav = wav[:, 0]
     return wav.astype(np.float32)

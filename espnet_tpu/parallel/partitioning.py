@@ -65,3 +65,35 @@ def infer_param_shardings(
 def shard_params(params: Any, mesh: Mesh, rules=DEFAULT_RULES) -> Any:
     shardings = infer_param_shardings(params, mesh, rules)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def infer_opt_state_shardings(
+    opt_state: Any, params: Any, param_shardings: Any, mesh: Mesh
+) -> Any:
+    """Shardings for optimizer state: moment buffers shard like their
+    params (with TP, replicated Adam moments would cost memory as if the
+    model were unsharded); everything else replicated.
+
+    optax moment trees (mu/nu/accumulated grads) mirror the params pytree,
+    so each moment leaf's path ends with its param's path — match the
+    longest param-path suffix with an equal shape.
+    """
+    by_path = {}
+    for path, sh in jax.tree_util.tree_flatten_with_path(param_shardings)[0]:
+        by_path[_path_str(path)] = sh
+    shapes = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        shapes[_path_str(path)] = np.shape(leaf)
+    rep = NamedSharding(mesh, P())
+
+    def spec_for(path, leaf):
+        p = _path_str(path)
+        for param_path, sh in by_path.items():
+            if (
+                p.endswith("/" + param_path)
+                and np.shape(leaf) == shapes[param_path]
+            ):
+                return sh
+        return rep
+
+    return jax.tree_util.tree_map_with_path(spec_for, opt_state)

@@ -78,6 +78,7 @@ def build_tokenizer(
     non_linguistic_symbols: Iterable[str] = (),
     space_symbol: str = "<space>",
     delimiter: str = " ",
+    g2p_type: Optional[str] = None,
 ):
     if token_type == "char":
         return CharTokenizer(space_symbol, non_linguistic_symbols)
@@ -87,6 +88,14 @@ def build_tokenizer(
         from espnet_tpu.text.bpe import BPETokenizer
 
         return BPETokenizer.load(bpemodel)
+    if token_type == "phn":
+        from espnet_tpu.text.phoneme import PhonemeTokenizer
+
+        return PhonemeTokenizer(
+            g2p_type or "en_rule",
+            space_symbol=space_symbol,
+            non_linguistic_symbols=non_linguistic_symbols,
+        )
     raise ValueError(f"unknown token_type {token_type}")
 
 

@@ -21,14 +21,16 @@ def build_optimizer(
     weight_decay: float = 0.0,
     grad_noise: bool = False,
     skip_nan_grad: bool = True,
+    seed: int = 0,
     **kwargs,
 ) -> optax.GradientTransformation:
     chain = []
     if grad_clip is not None and grad_clip > 0:
         chain.append(optax.clip_by_global_norm(grad_clip))
     if grad_noise:
-        # reference add_gradient_noise (asr_utils.py:616): eta/(1+step)^0.55
-        chain.append(optax.add_noise(eta=0.01, gamma=0.55, key=0))
+        # reference add_gradient_noise (asr_utils.py:616): eta/(1+step)^0.55;
+        # keyed from the run seed so restarts with a new seed see new noise
+        chain.append(optax.add_noise(eta=0.01, gamma=0.55, key=seed))
 
     if name == "adam":
         opt = optax.adam(lr, **kwargs)

@@ -65,7 +65,14 @@ def make_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         stats = dict(stats)
-        stats["grad_norm"] = optax.global_norm(grads)
+        grad_norm = optax.global_norm(grads)
+        stats["grad_norm"] = grad_norm
+        # non-finite loss/grads → the apply_if_finite wrapper drops the
+        # update; surface it so the Trainer can count skips and abort the
+        # epoch when every step was invalid (reference trainer.py:309-314)
+        stats["skipped"] = 1.0 - (
+            jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+        ).astype(jnp.float32)
         new_state = state.replace(
             step=state.step + 1, params=params, opt_state=opt_state
         )
@@ -75,14 +82,21 @@ def make_train_step(
 
 
 def make_eval_step(model) -> Callable:
-    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+    def eval_step(
+        state: TrainState,
+        batch: Dict[str, jnp.ndarray],
+        rng: Optional[jax.Array] = None,
+    ):
+        # some modules keep dropout live at eval (e.g. Tacotron2 prenet,
+        # reference tacotron2/decoder.py:134) — callers pass a fresh key
+        # per batch; default key only for legacy call sites
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
         loss, stats = model.apply(
             {"params": state.params, **state.extra_vars},
             **batch,
             deterministic=True,
-            # some modules keep dropout live at eval (e.g. Tacotron2
-            # prenet, reference tacotron2/decoder.py:134) — fixed key
-            rngs={"dropout": jax.random.PRNGKey(0)},
+            rngs={"dropout": rng},
         )
         return dict(stats)
 

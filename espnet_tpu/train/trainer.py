@@ -63,6 +63,7 @@ class Trainer:
         self.best_mode = best_mode
         self.log_interval = log_interval
         self.mesh = mesh if mesh is not None else make_mesh()
+        self.seed = 0
         self.reporter = Reporter()
         self.train_step = jax.jit(make_train_step(model, tx), donate_argnums=0)
         self.eval_step = jax.jit(make_eval_step(model))
@@ -87,7 +88,35 @@ class Trainer:
         state = TrainState.create(
             params, self.tx, jax.random.PRNGKey(seed), extra_vars=extra
         )
-        return replicate(state, self.mesh)
+        self.seed = seed
+        return self.shard_state(state)
+
+    def shard_state(self, state: TrainState) -> TrainState:
+        """Place the train state on the mesh: params per the tensor-
+        parallel rules (replicated when the model axis is 1), optimizer
+        moments sharded like their params, the rest replicated."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from espnet_tpu.parallel.partitioning import (
+            infer_opt_state_shardings,
+            infer_param_shardings,
+        )
+
+        if self.mesh.shape.get("model", 1) <= 1:
+            return replicate(state, self.mesh)
+        param_sh = infer_param_shardings(state.params, self.mesh)
+        opt_sh = infer_opt_state_shardings(
+            state.opt_state, state.params, param_sh, self.mesh
+        )
+        rep = NamedSharding(self.mesh, P())
+        state_sh = state.replace(
+            step=rep,
+            params=param_sh,
+            extra_vars=jax.tree_util.tree_map(lambda _: rep, state.extra_vars),
+            opt_state=opt_sh,
+            rng=rep,
+        )
+        return jax.device_put(state, state_sh)
 
     def resume(self, state: TrainState) -> TrainState:
         ckpt = self.expdir / "checkpoint.ckpt"
@@ -98,7 +127,7 @@ class Trainer:
             if "reporter" in meta:
                 self.reporter.load_state_dict(meta["reporter"])
             logger.info("resumed from %s at epoch %d", ckpt, self.start_epoch)
-            state = replicate(state, self.mesh)
+            state = self.shard_state(state)
         return state
 
     def run(
@@ -149,17 +178,43 @@ class Trainer:
                 break
         return state
 
+    def _put_batch(self, batch):
+        """Host-local batch → mesh-sharded global arrays. Multi-host:
+        every host loads its own slice and the shards are assembled into
+        one global array (replaces reference batches[rank::world_size],
+        abs_task.py:1445); single host: plain device_put sharding."""
+        if jax.process_count() > 1:
+            from espnet_tpu.parallel.distributed import host_local_batch_to_global
+
+            return host_local_batch_to_global(batch, self.mesh)
+        return shard_batch(batch, self.mesh)
+
     def train_one_epoch(self, state, iterator, epoch: int):
         sub = self.reporter.start_epoch("train", epoch)
+        n_steps = 0
+        n_skipped = 0
         for i, batch in enumerate(iterator):
             bsz = next(iter(batch.values())).shape[0]
-            batch = shard_batch(batch, self.mesh)
+            batch = self._put_batch(batch)
             state, stats = self.train_step(state, batch)
+            n_steps += 1
+            n_skipped += int(float(stats.get("skipped", 0.0)) > 0.5)
             sub.register(
                 {k: float(v) for k, v in stats.items()}, weight=float(bsz)
             )
             if (i + 1) % self.log_interval == 0:
                 logger.info(sub.log_message(step=i + 1))
+        if n_skipped:
+            logger.warning(
+                "epoch %d: %d/%d steps skipped (non-finite loss/grads)",
+                epoch, n_skipped, n_steps,
+            )
+        if n_steps > 0 and n_skipped == n_steps:
+            # reference aborts when every step was invalid (trainer.py:309-314)
+            raise RuntimeError(
+                f"epoch {epoch}: all {n_steps} steps had non-finite "
+                "loss/grads — aborting training"
+            )
         self.reporter.finish_epoch(sub)
         if self.tb is not None:
             for k in list(sub._sums):
@@ -168,10 +223,11 @@ class Trainer:
 
     def validate_one_epoch(self, state, iterator, epoch: int):
         sub = self.reporter.start_epoch("valid", epoch)
-        for batch in iterator:
+        eval_rng = jax.random.PRNGKey(getattr(self, "seed", 0) + 7919 * epoch)
+        for i, batch in enumerate(iterator):
             bsz = next(iter(batch.values())).shape[0]
-            batch = shard_batch(batch, self.mesh)
-            stats = self.eval_step(state, batch)
+            batch = self._put_batch(batch)
+            stats = self.eval_step(state, batch, jax.random.fold_in(eval_rng, i))
             sub.register({k: float(v) for k, v in stats.items()}, weight=float(bsz))
         self.reporter.finish_epoch(sub)
         if self.tb is not None:
