@@ -25,6 +25,8 @@ class STModel(nn.Module):
     encoder: nn.Module
     decoder: nn.Module
     asr_decoder: Optional[nn.Module] = None
+    frontend: Optional[nn.Module] = None   # raw wav → fbank in-graph
+    normalize: Optional[nn.Module] = None
     asr_weight: float = 0.3
     mt_weight: float = 0.0
     mtlalpha: float = 0.5     # within asr_weight: ctc vs attention mix
@@ -44,6 +46,10 @@ class STModel(nn.Module):
         return self.vocab_size - 1
 
     def encode(self, speech, speech_lengths, deterministic: bool = True):
+        if self.frontend is not None:
+            speech, speech_lengths = self.frontend(speech, speech_lengths)
+        if self.normalize is not None:
+            speech = self.normalize(speech, speech_lengths)
         return self.encoder(speech, speech_lengths, deterministic=deterministic)
 
     def __call__(

@@ -118,3 +118,74 @@ class VCTacotron2(nn.Module):
             stats["attn_loss"] = ga
         stats["loss"] = loss
         return loss, stats
+
+    def inference(
+        self,
+        src_feats: jnp.ndarray,      # (B, Tsrc, idim)
+        src_lengths: jnp.ndarray,
+        threshold: float = 0.5,
+        maxlenratio: float = 3.0,
+        minlenratio: float = 0.0,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Autoregressive conversion → (feats (B, Tmax, n_mels), lengths,
+        att_ws). Same scan-with-stop loop as Tacotron2.inference
+        (reference e2e_vc_tacotron2.py inference path)."""
+        b, t_src, _ = src_feats.shape
+        r = self.reduction_factor
+        maxsteps = max(int(maxlenratio * t_src) // r, 1)
+        minsteps = int(minlenratio * t_src) // r
+        enc_h = self.enc(src_feats, src_lengths, True)
+        mask = make_non_pad_mask(src_lengths, t_src)
+        enc_proj = self.dec_step.att.pre_compute(enc_h)
+        states, att_prev, prev0 = self.dec_step.init_state(
+            b, t_src, src_lengths, enc_h.dtype
+        )
+
+        def body(mdl, carry, _):
+            (dec_carry, prev_frame, stopped, n_steps) = carry
+            new_carry, (frames, stop, att_w) = mdl(
+                dec_carry, prev_frame, enc_h, enc_proj, mask
+            )
+            frames_r = frames.reshape(b, r, self.n_mels)
+            prob = jax.nn.sigmoid(stop).max(axis=1)
+            n_steps = n_steps + 1
+            newly_stopped = (prob >= threshold) & (n_steps >= max(minsteps, 1))
+            keep = ~stopped
+            out_frames = jnp.where(keep[:, None, None], frames_r, 0.0)
+            dec_carry = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(
+                    keep.reshape((b,) + (1,) * (n.ndim - 1)), n, o
+                ),
+                new_carry,
+                carry[0],
+            )
+            stopped = stopped | newly_stopped
+            return (dec_carry, frames_r[:, -1], stopped, n_steps), (
+                out_frames,
+                att_w,
+                stopped,
+            )
+
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=0,
+            out_axes=0,
+            length=maxsteps,
+        )
+        init = (
+            (states, att_prev),
+            prev0,
+            jnp.zeros((b,), bool),
+            jnp.zeros((b,), jnp.int32),
+        )
+        _, (frames, att_ws, stopped_hist) = scan(self.dec_step, init, None)
+        frames = jnp.transpose(frames, (1, 0, 2, 3)).reshape(
+            b, maxsteps * r, self.n_mels
+        )
+        post = frames + self.postnet(frames, True)
+        stopped_hist = jnp.transpose(stopped_hist)
+        olens = (~stopped_hist).sum(axis=1) * r
+        att_ws = jnp.transpose(att_ws, (1, 0, 2))
+        return post, olens, att_ws

@@ -76,6 +76,9 @@ def mel_filterbank(
     """
     if fmax is None:
         fmax = fs / 2.0
+    # a band edge above Nyquist would leave empty (all-zero) top filters →
+    # constant log(eps) channels whose zero variance explodes MVN
+    fmax = min(fmax, fs / 2.0)
     n_freqs = n_fft // 2 + 1
     fft_freqs = np.linspace(0, fs / 2.0, n_freqs)
 

@@ -14,6 +14,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 import numpy as np
 
+from espnet_tpu.parallel.distributed import init_distributed_and_mesh
 from espnet_tpu.data.dataset import (
     CommonPreprocessor,
     ESPnetDataset,
@@ -335,6 +336,7 @@ def train(
         best_key=config.get("best_key", "loss"),
         log_interval=config.get("log_interval", 50),
         scheduler_on_valid=scheduler_on_valid,
+        mesh=init_distributed_and_mesh(config),
     )
 
     # init params from one real batch

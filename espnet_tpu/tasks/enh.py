@@ -13,6 +13,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 import numpy as np
 
+from espnet_tpu.parallel.distributed import init_distributed_and_mesh
 from espnet_tpu.data.dataset import ChunkIterFactory, ESPnetDataset
 from espnet_tpu.models.enh import EnhancementModel, TFMaskingNet
 from espnet_tpu.models.enh.tasnet import ConvTasNet
@@ -95,6 +96,7 @@ def train(
         keep_nbest=config.get("keep_nbest", 5),
         log_interval=config.get("log_interval", 100),
         best_key="loss",
+        mesh=init_distributed_and_mesh(config),
     )
     first = next(iter(train_iter(1)))
     variables = model.init(
@@ -107,3 +109,21 @@ def train(
     state = trainer.run(state, train_iter, valid_iter)
     trainer.average_best_params(state)
     return trainer
+
+
+def build_model_from_file(config_file, ckpt_file):
+    """config.yaml + ckpt → (model, variables, config) for enh_inference."""
+    from espnet_tpu.utils.config import load_yaml
+
+    config = load_yaml(config_file)
+    model = build_enh_model(config)
+    L = int(config.get("chunk_length", 16000))
+    mix = np.zeros((1, L), dtype=np.float32)
+    lens = np.array([L], dtype=np.int32)
+    refs = np.zeros((1, config.get("n_spk", 2), L), dtype=np.float32)
+    variables = model.init(jax.random.PRNGKey(0), mix, lens, refs)
+    from espnet_tpu.train.checkpoint import load_checkpoint
+
+    target = jax.tree_util.tree_map(np.asarray, variables["params"])
+    params = load_checkpoint(ckpt_file, target)
+    return model, {"params": params}, config

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from espnet_tpu.parallel.distributed import init_distributed_and_mesh
 from espnet_tpu.models.lm import SequentialRNNLM, TransformerLM, lm_nll
 from espnet_tpu.models.asr.espnet_model import add_sos_eos
 from espnet_tpu.utils.config import load_yaml, save_yaml
@@ -96,6 +97,7 @@ def train(
         max_epoch=config.get("max_epoch", 10),
         keep_nbest=config.get("keep_nbest", 5),
         log_interval=config.get("log_interval", 100),
+        mesh=init_distributed_and_mesh(config),
     )
     first = next(iter(train_iter(1)))
     variables = model.init(
@@ -103,7 +105,7 @@ def train(
         first["text"], first["text_lengths"],
     )
     save_yaml(Path(expdir) / "config.yaml", {**config, "token_list": token_list})
-    state = trainer.init_state(variables)
+    state = trainer.init_state(variables, seed=config.get("seed", 0))
     state = trainer.resume(state)
     state = trainer.run(state, train_iter, valid_iter)
     trainer.average_best_params(state)

@@ -12,6 +12,7 @@ from typing import Any, Dict, List, Tuple
 import jax
 import numpy as np
 
+from espnet_tpu.parallel.distributed import init_distributed_and_mesh
 from espnet_tpu.models.st_mt import MTModel, STModel
 from espnet_tpu.utils.config import save_yaml
 
@@ -35,6 +36,7 @@ DEFAULT_CONFIG: Dict[str, Any] = {
 
 def build_st_model(config: Dict[str, Any], vocab: int, src_vocab: int) -> STModel:
     from espnet_tpu.models.asr import TransformerDecoder, TransformerEncoder
+    from espnet_tpu.models.asr.frontend import DefaultFrontend, UtteranceMVN
 
     enc = TransformerEncoder(**config.get("encoder_conf", {}))
     dec = TransformerDecoder(vocab, **config.get("decoder_conf", {}))
@@ -42,9 +44,14 @@ def build_st_model(config: Dict[str, Any], vocab: int, src_vocab: int) -> STMode
     asr_dec = None
     if mc.get("mtlalpha", 0.5) < 1.0 and mc.get("asr_weight", 0.3) > 0:
         asr_dec = TransformerDecoder(src_vocab, **config.get("decoder_conf", {}))
+    frontend = normalize = None
+    if config.get("frontend", "default") == "default":
+        frontend = DefaultFrontend(**config.get("frontend_conf", {}))
+        if config.get("normalize", "utterance_mvn") == "utterance_mvn":
+            normalize = UtteranceMVN()
     return STModel(
         vocab_size=vocab, src_vocab_size=src_vocab, encoder=enc, decoder=dec,
-        asr_decoder=asr_dec, **mc,
+        asr_decoder=asr_dec, frontend=frontend, normalize=normalize, **mc,
     )
 
 
@@ -117,6 +124,7 @@ def train(
         max_epoch=config.get("max_epoch", 20),
         keep_nbest=config.get("keep_nbest", 5),
         log_interval=config.get("log_interval", 100),
+        mesh=init_distributed_and_mesh(config),
     )
     first = next(iter(train_iter(1)))
     variables = model.init(jax.random.PRNGKey(config.get("seed", 0)), **first)
@@ -130,3 +138,38 @@ def train(
     state = trainer.run(state, train_iter, valid_iter)
     trainer.average_best_params(state)
     return trainer
+
+
+def build_model_from_file(config_file, ckpt_file):
+    """config.yaml + ckpt → (model, variables, token_list, src_token_list,
+    task) for st_trans/mt_trans (reference analog: asr_init.load_trained_model)."""
+    from espnet_tpu.utils.config import load_yaml
+
+    config = load_yaml(config_file)
+    token_list = config["token_list"]
+    src_token_list = config.get("src_token_list") or token_list
+    task = config.get("task", "st")
+    if task == "st":
+        model = build_st_model(config, len(token_list), len(src_token_list))
+        if config.get("frontend", "default") == "default":
+            n = config.get("frontend_conf", {}).get("n_fft", 512) * 8
+            speech = np.zeros((1, n), dtype=np.float32)
+            slen = np.array([n], dtype=np.int32)
+        else:
+            speech = np.zeros((1, 16, 80), dtype=np.float32)
+            slen = np.array([16], dtype=np.int32)
+        init_args = (speech, slen,
+                     np.array([[1, 2]], dtype=np.int32),
+                     np.array([2], dtype=np.int32))
+    else:
+        model = build_mt_model(config, len(token_list), len(src_token_list))
+        init_args = (np.array([[1, 2, 3]], dtype=np.int32),
+                     np.array([3], dtype=np.int32),
+                     np.array([[1, 2]], dtype=np.int32),
+                     np.array([2], dtype=np.int32))
+    variables = model.init(jax.random.PRNGKey(0), *init_args)
+    from espnet_tpu.train.checkpoint import load_checkpoint
+
+    target = jax.tree_util.tree_map(np.asarray, variables["params"])
+    params = load_checkpoint(ckpt_file, target)
+    return model, {"params": params}, token_list, src_token_list, task

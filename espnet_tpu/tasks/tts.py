@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from espnet_tpu.parallel.distributed import init_distributed_and_mesh
 from espnet_tpu.models.tts import FastSpeech2, Tacotron2, TransformerTTS
 from espnet_tpu.ops.stft import log_mel_spectrogram
 from espnet_tpu.utils.config import load_yaml, save_yaml
@@ -235,6 +236,7 @@ def train(
         max_epoch=config.get("max_epoch", 20),
         keep_nbest=config.get("keep_nbest", 5),
         log_interval=config.get("log_interval", 100),
+        mesh=init_distributed_and_mesh(config),
     )
     first = next(iter(train_iter(1)))
     variables = model.init(

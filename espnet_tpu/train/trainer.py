@@ -184,9 +184,12 @@ class Trainer:
         one global array (replaces reference batches[rank::world_size],
         abs_task.py:1445); single host: plain device_put sharding."""
         if jax.process_count() > 1:
-            from espnet_tpu.parallel.distributed import host_local_batch_to_global
+            from espnet_tpu.parallel.distributed import (
+                host_local_batch_to_global,
+                local_slice,
+            )
 
-            return host_local_batch_to_global(batch, self.mesh)
+            return host_local_batch_to_global(local_slice(batch), self.mesh)
         return shard_batch(batch, self.mesh)
 
     def train_one_epoch(self, state, iterator, epoch: int):

@@ -1,0 +1,185 @@
+"""End-to-end CLI tests for the st/mt/vc/enh/launch tools (reference
+analog: test_utils/*.bats CLI integration tests + ci/test_integration.sh
+st1/mt1 runs). Tiny models, 1 epoch, synthetic data."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from espnet_tpu.data.wav import write_wav
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = {
+    **os.environ,
+    "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    "JAX_PLATFORMS": "cpu",
+}
+
+
+def run_cli(mod, *args, timeout=600):
+    r = subprocess.run(
+        [sys.executable, "-m", f"espnet_tpu.bin.{mod}", *map(str, args)],
+        env=ENV,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, f"{mod} failed:\n{r.stdout}\n{r.stderr}"
+    return r
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_data")
+    (root / "wav").mkdir()
+    rng = np.random.RandomState(0)
+    words = ["AB", "BA", "ABB", "BAB"]
+    files = {
+        n: open(root / n, "w")
+        for n in ("src_text", "text", "wav.scp", "wav2.scp", "mix.scp",
+                  "s1.scp", "s2.scp")
+    }
+    for i in range(6):
+        u, t = f"utt{i}", words[i % 4]
+        files["src_text"].write(f"{u} {t}\n")
+        files["text"].write(f"{u} {t[::-1]}\n")
+        w1 = rng.randn(4000).astype(np.float32) * 0.1
+        w2 = rng.randn(4000).astype(np.float32) * 0.1
+        for tag, w in [("a", w1), ("b", w2), ("mix", (w1 + w2) / 2)]:
+            write_wav(root / "wav" / f"{u}_{tag}.wav", 8000, w)
+        files["wav.scp"].write(f"{u} {root}/wav/{u}_a.wav\n")
+        files["wav2.scp"].write(f"{u} {root}/wav/{u}_b.wav\n")
+        files["mix.scp"].write(f"{u} {root}/wav/{u}_mix.wav\n")
+        files["s1.scp"].write(f"{u} {root}/wav/{u}_a.wav\n")
+        files["s2.scp"].write(f"{u} {root}/wav/{u}_b.wav\n")
+    for f in files.values():
+        f.close()
+    (root / "tokens.txt").write_text(
+        "\n".join(["<blank>", "<unk>", "A", "B", "<space>", "<sos/eos>"])
+    )
+    return root
+
+
+TINY_TRF = '{"attention_dim": 32, "attention_heads": 2, "linear_units": 32, "num_blocks": 1}'
+
+
+@pytest.mark.slow
+def test_mt_train_trans(data, tmp_path):
+    exp = tmp_path / "mt"
+    run_cli(
+        "mt_train",
+        "--train_data", f"{data}/src_text,src_text,text",
+        "--train_data", f"{data}/text,text,text",
+        "--valid_data", f"{data}/src_text,src_text,text",
+        "--valid_data", f"{data}/text,text,text",
+        "--token_list", data / "tokens.txt", "--expdir", exp,
+        "--max_epoch", 1, "--batch_size", 3,
+        "--encoder_conf", TINY_TRF, "--decoder_conf", TINY_TRF,
+    )
+    run_cli(
+        "mt_trans",
+        "--data", f"{data}/src_text,src_text,text", "--text", data / "text",
+        "--config", exp / "config.yaml", "--ckpt", exp / "latest.ckpt",
+        "--output_dir", exp / "decode", "--beam_size", 2, "--batch_size", 3,
+    )
+    assert (exp / "decode" / "summary.json").exists()
+
+
+@pytest.mark.slow
+def test_st_train_trans(data, tmp_path):
+    exp = tmp_path / "st"
+    run_cli(
+        "st_train",
+        "--train_data", f"{data}/wav.scp,speech,sound",
+        "--train_data", f"{data}/text,text,text",
+        "--train_data", f"{data}/src_text,src_text,text",
+        "--valid_data", f"{data}/wav.scp,speech,sound",
+        "--valid_data", f"{data}/text,text,text",
+        "--valid_data", f"{data}/src_text,src_text,text",
+        "--token_list", data / "tokens.txt", "--expdir", exp,
+        "--max_epoch", 1, "--batch_size", 3,
+        "--frontend_conf", '{"fs": 8000, "n_fft": 256, "hop_length": 128, "n_mels": 20}',
+        "--encoder_conf", TINY_TRF, "--decoder_conf", TINY_TRF,
+    )
+    run_cli(
+        "st_trans",
+        "--data", f"{data}/wav.scp,speech,sound", "--text", data / "text",
+        "--config", exp / "config.yaml", "--ckpt", exp / "latest.ckpt",
+        "--output_dir", exp / "decode", "--beam_size", 2, "--batch_size", 3,
+        "--maxlenratio", 0.5,
+    )
+    assert (exp / "decode" / "summary.json").exists()
+
+
+@pytest.mark.slow
+def test_enh_train_inference(data, tmp_path):
+    exp = tmp_path / "enh"
+    run_cli(
+        "enh_train",
+        "--train_data", f"{data}/mix.scp,speech_mix,sound",
+        "--train_data", f"{data}/s1.scp,speech_ref1,sound",
+        "--train_data", f"{data}/s2.scp,speech_ref2,sound",
+        "--valid_data", f"{data}/mix.scp,speech_mix,sound",
+        "--valid_data", f"{data}/s1.scp,speech_ref1,sound",
+        "--valid_data", f"{data}/s2.scp,speech_ref2,sound",
+        "--expdir", exp, "--max_epoch", 1, "--batch_size", 2,
+        "--chunk_length", 2000,
+        "--separator_conf", '{"n_fft": 256, "hop_length": 128, "units": 16, "layers": 1}',
+    )
+    run_cli(
+        "enh_inference",
+        "--data", f"{data}/mix.scp,speech_mix,sound",
+        "--config", exp / "config.yaml", "--ckpt", exp / "latest.ckpt",
+        "--output_dir", exp / "sep", "--fs", 8000,
+    )
+    assert (exp / "sep" / "spk1" / "utt0.wav").exists()
+    assert (exp / "sep" / "spk2.scp").exists()
+
+
+@pytest.mark.slow
+def test_vc_train_decode(data, tmp_path):
+    exp = tmp_path / "vc"
+    stats = tmp_path / "vc_stats"
+    fc = '{"fs": 8000, "n_fft": 256, "hop_length": 128, "n_mels": 20}'
+    vcc = ('{"econv_chans": 16, "blstm_units": 16, "dunits": 32, "dlayers": 1,'
+           ' "prenet_units": 16, "postnet_chans": 16, "att_dim": 16}')
+    run_cli(
+        "vc_train",
+        "--train_data", f"{data}/wav.scp,src_speech,sound",
+        "--train_data", f"{data}/wav2.scp,speech,sound",
+        "--collect_stats", "true", "--stats_dir", stats,
+        "--feats_extract_conf", fc, "--expdir", exp,
+    )
+    run_cli(
+        "vc_train",
+        "--train_data", f"{data}/wav.scp,src_speech,sound",
+        "--train_data", f"{data}/wav2.scp,speech,sound",
+        "--valid_data", f"{data}/wav.scp,src_speech,sound",
+        "--valid_data", f"{data}/wav2.scp,speech,sound",
+        "--expdir", exp, "--stats_dir", stats,
+        "--max_epoch", 1, "--batch_size", 2,
+        "--feats_extract_conf", fc, "--vc_conf", vcc,
+    )
+    run_cli(
+        "vc_decode",
+        "--data", f"{data}/wav.scp,src_speech,sound",
+        "--config", exp / "config.yaml", "--ckpt", exp / "latest.ckpt",
+        "--output_dir", exp / "decode", "--maxlenratio", 1.0,
+        "--griffin_lim_iters", 4,
+    )
+    assert (exp / "decode" / "utt0.wav").exists()
+    assert np.isfinite(np.load(exp / "decode" / "utt0.npy")).all()
+
+
+def test_launch_local():
+    r = subprocess.run(
+        [sys.executable, "-m", "espnet_tpu.bin.launch", "--nproc", "2", "--",
+         sys.executable, "-c",
+         "import os; print('w', os.environ['RANK'], os.environ['WORLD_SIZE'])"],
+        env=ENV, capture_output=True, text=True, timeout=60, cwd=REPO,
+    )
+    assert r.returncode == 0
+    assert "w 0 2" in r.stdout and "w 1 2" in r.stdout
