@@ -108,9 +108,25 @@ class Tacotron2DecoderStep(nn.Module):
     aconv_chans: int = 32
     aconv_filts: int = 15
     cumulate_att_w: bool = True
+    att_type: str = "location"  # location | forward | forward_ta
+    # (reference Tacotron2 default atype is forward_ta,
+    #  e2e_tts_tacotron2.py:378 — selectable here via tts_conf.att_type)
 
     def setup(self):
-        self.att = LocationAttention(self.att_dim, self.aconv_chans, self.aconv_filts)
+        if self.att_type == "location":
+            self.att = LocationAttention(
+                self.att_dim, self.aconv_chans, self.aconv_filts
+            )
+        elif self.att_type == "forward":
+            from espnet_tpu.models.asr.attentions import AttForward
+
+            self.att = AttForward(self.att_dim, self.aconv_chans, self.aconv_filts)
+        elif self.att_type == "forward_ta":
+            from espnet_tpu.models.asr.attentions import AttForwardTA
+
+            self.att = AttForwardTA(self.att_dim, self.aconv_chans, self.aconv_filts)
+        else:
+            raise ValueError(f"unknown tacotron att_type {self.att_type}")
         self.prenet = Prenet(self.prenet_units)
         self.cells = [nn.LSTMCell(self.dunits) for _ in range(self.dlayers)]
         self.feat_out = nn.Dense(self.n_mels * self.reduction_factor, use_bias=False)
@@ -121,16 +137,35 @@ class Tacotron2DecoderStep(nn.Module):
             (jnp.zeros((batch, self.dunits), dtype), jnp.zeros((batch, self.dunits), dtype))
             for _ in range(self.dlayers)
         )
-        mask = make_non_pad_mask(hlens, maxlen)
-        att_prev = mask.astype(dtype) / jnp.maximum(hlens[:, None], 1).astype(dtype)
+        if self.att_type == "location":
+            mask = make_non_pad_mask(hlens, maxlen)
+            att_prev = mask.astype(dtype) / jnp.maximum(hlens[:, None], 1).astype(dtype)
+        else:
+            att_prev = self.att.init_state(batch, maxlen, hlens, dtype)
         prev_frame = jnp.zeros((batch, self.n_mels), dtype)
         return states, att_prev, prev_frame
 
     def __call__(self, carry, prev_frame, enc_h, enc_proj, mask):
-        """One decoder step. carry=(lstm_states, att_w_accum); returns
+        """One decoder step. carry=(lstm_states, att_state); returns
         (new_carry, (frames (B, r*n_mels), stop_logits (B, r), att_w))."""
-        states, att_acc = carry
-        att_c, att_w = self.att(enc_h, enc_proj, mask, states[0][1], att_acc, scaling=1.0)
+        states, att_state = carry
+        dec_z = states[0][1]
+        if self.att_type == "location":
+            att_c, att_w = self.att(
+                enc_h, enc_proj, mask, dec_z, att_state, scaling=1.0
+            )
+            new_att = att_state + att_w if self.cumulate_att_w else att_w
+        elif self.att_type == "forward":
+            att_c, new_att = self.att(
+                enc_h, enc_proj, mask, dec_z, att_state, scaling=1.0
+            )
+            att_w = new_att
+        else:  # forward_ta: transition agent sees the previous frame
+            att_c, new_att = self.att(
+                enc_h, enc_proj, mask, dec_z, att_state,
+                scaling=1.0, out_prev=prev_frame,
+            )
+            att_w = new_att[0]
         pre = self.prenet(prev_frame)
         x = jnp.concatenate([pre, att_c], axis=-1)
         new_states = []
@@ -141,8 +176,7 @@ class Tacotron2DecoderStep(nn.Module):
         cat = jnp.concatenate([x, att_c], axis=-1)
         frames = self.feat_out(cat)
         stop = self.prob_out(cat)
-        new_acc = att_acc + att_w if self.cumulate_att_w else att_w
-        return (tuple(new_states), new_acc), (frames, stop, att_w)
+        return (tuple(new_states), new_att), (frames, stop, att_w)
 
 
 class Tacotron2(nn.Module):
@@ -163,6 +197,7 @@ class Tacotron2(nn.Module):
     spk_embed_dim: int = 0   # >0: x-vector conditioning (spemb concat)
     use_cbhg: bool = False   # CBHG post-module → linear spectrogram
     spc_dim: int = 0         # linear-spectrogram bins (use_cbhg)
+    att_type: str = "location"  # location | forward | forward_ta
     use_guided_attn_loss: bool = True
     guided_attn_sigma: float = 0.4
     guided_attn_lambda: float = 1.0
@@ -188,6 +223,7 @@ class Tacotron2(nn.Module):
             self.att_dim,
             self.aconv_chans,
             self.aconv_filts,
+            att_type=self.att_type,
         )
         self.postnet = Postnet(self.n_mels, self.postnet_chans)
         if self.spk_embed_dim > 0:

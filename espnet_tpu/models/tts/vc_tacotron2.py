@@ -56,6 +56,7 @@ class VCTacotron2(nn.Module):
     aconv_chans: int = 8
     aconv_filts: int = 15
     reduction_factor: int = 1
+    att_type: str = "location"
     use_guided_attn_loss: bool = True
     bce_pos_weight: float = 5.0
 
@@ -64,6 +65,7 @@ class VCTacotron2(nn.Module):
         self.dec_step = Tacotron2DecoderStep(
             self.n_mels, self.reduction_factor, self.dunits, self.dlayers,
             self.prenet_units, self.att_dim, self.aconv_chans, self.aconv_filts,
+            att_type=self.att_type,
         )
         self.postnet = Postnet(self.n_mels, self.postnet_chans, layers=3)
 
