@@ -32,10 +32,33 @@ def _load_npy(path: str) -> np.ndarray:
     return np.load(path)
 
 
+def _load_multichannel_sound(path: str) -> np.ndarray:
+    """(L, C) multi-channel waveform (beamformer frontend input)."""
+    _, wav = read_audio(path)
+    if wav.ndim == 1:
+        wav = wav[:, None]
+    return wav.astype(np.float32)
+
+
+def _load_hdf5(path: str) -> np.ndarray:
+    from espnet_tpu.data.hdf5 import load_hdf5
+
+    return load_hdf5(path)
+
+
+def _load_sound_hdf5(path: str) -> np.ndarray:
+    from espnet_tpu.data.hdf5 import load_sound_hdf5
+
+    return load_sound_hdf5(path)
+
+
 LOADERS: Dict[str, Callable[[str], np.ndarray]] = {
     "sound": _load_sound,
+    "multichannel_sound": _load_multichannel_sound,
     "kaldi_ark": load_scp_entry,
     "npy": _load_npy,
+    "hdf5": _load_hdf5,
+    "sound.hdf5": _load_sound_hdf5,
     "text_int": lambda s: np.array([int(x) for x in s.split()], dtype=np.int32),
 }
 

@@ -172,6 +172,101 @@ def _fn_transform(fn):
     return _T
 
 
+class ChannelSelector:
+    """Pick one channel from [Time, Channel] input (reference:
+    espnet/transform/channel_selector.py). train_channel='random' draws a
+    channel per call; eval uses a fixed index."""
+
+    def __init__(self, train_channel="random", eval_channel=0, axis=1, seed=0):
+        self.train_channel = train_channel
+        self.eval_channel = eval_channel
+        self.axis = axis
+        self.rng = np.random.RandomState(seed)
+
+    def __call__(self, x, train=True):
+        if x.ndim <= self.axis:
+            return x
+        ch = self.train_channel if train else self.eval_channel
+        if ch == "random":
+            ch = self.rng.randint(x.shape[self.axis])
+        return np.take(x, int(ch), axis=self.axis)
+
+
+class RIRConvolve:
+    """Convolve the waveform with a room impulse response (reference:
+    espnet/transform/perturb.py:303). utt2rir maps uttid → rir wav path;
+    a multi-channel RIR produces [Time, Channel] output."""
+
+    def __init__(self, utt2rir, filetype="list"):
+        from espnet_tpu.data.wav import read_audio
+
+        self.utt2rir = {}
+        if filetype == "list":
+            with open(utt2rir) as f:
+                for line in f:
+                    utt, fname = line.rstrip().split(None, 1)
+                    rate, signal = read_audio(fname, normalize=False)
+                    self.utt2rir[utt] = (signal, rate)
+        elif filetype == "sound.hdf5":
+            from espnet_tpu.data.hdf5 import SoundHDF5File
+
+            with SoundHDF5File(utt2rir, "r") as f:
+                for k, (sig, rate) in f.items():
+                    self.utt2rir[k] = (sig, rate)
+        else:
+            raise NotImplementedError(filetype)
+
+    def __call__(self, x, train=True, uttid=None):
+        if not train or uttid not in self.utt2rir:
+            return x
+        from scipy.signal import fftconvolve
+
+        x = x.astype(np.float32)
+        rir, _ = self.utt2rir[uttid]
+        rir = np.asarray(rir, dtype=np.float32)
+        if rir.ndim == 2:
+            out = np.stack(
+                [fftconvolve(x, rir[:, c], mode="full")[: len(x)]
+                 for c in range(rir.shape[1])],
+                axis=-1,
+            )
+            return out
+        return fftconvolve(x, rir, mode="full")[: len(x)]
+
+
+class WPE:
+    """Host-side weighted-prediction-error dereverberation on STFT
+    features [Time, Channel, Frequency] (reference:
+    espnet/transform/wpe.py:4 via nara_wpe — own numpy implementation
+    here, same recursion as models/enh/beamformer.wpe_dereverb)."""
+
+    def __init__(self, taps=10, delay=3, iterations=3, eps=1e-6):
+        self.taps = taps
+        self.delay = delay
+        self.iterations = iterations
+        self.eps = eps
+
+    def __call__(self, xs, train=True):
+        # xs: (T, C, F) complex → same
+        x = np.asarray(xs).transpose(2, 0, 1)  # (F, T, C)
+        f, t, c = x.shape
+        xd = np.zeros((f, t, c * self.taps), dtype=x.dtype)
+        for k in range(self.taps):
+            shift = self.delay + k
+            if shift < t:
+                xd[:, shift:, k * c : (k + 1) * c] = x[:, : t - shift]
+        y = x
+        for _ in range(self.iterations):
+            power = np.maximum((np.abs(y) ** 2).mean(axis=-1), self.eps)
+            w = (1.0 / power)[..., None]  # (F, T, 1)
+            a = np.einsum("fti,ftj->fij", np.conj(xd) * w, xd)
+            rhs = np.einsum("fti,ftj->fij", np.conj(xd) * w, x)
+            a = a + self.eps * np.eye(a.shape[-1], dtype=a.dtype)
+            g = np.linalg.solve(a, rhs)  # (F, CK, C)
+            y = x - np.einsum("fti,fij->ftj", xd, g)
+        return y.transpose(1, 2, 0)  # (T, C, F)
+
+
 REGISTRY: Dict[str, Callable] = {
     "cmvn": CMVN,
     "utterance_cmvn": UtteranceCMVN,
@@ -182,6 +277,9 @@ REGISTRY: Dict[str, Callable] = {
     "time_mask": TimeMask,
     "spectrogram": _fn_transform(spectrogram),
     "fbank": _fn_transform(fbank),
+    "channel_selector": ChannelSelector,
+    "rir_convolve": RIRConvolve,
+    "wpe": WPE,
 }
 
 
@@ -206,7 +304,14 @@ class Transformation:
             typ = entry.pop("type")
             self.fns.append(REGISTRY[typ](**entry))
 
-    def __call__(self, x: np.ndarray, train: bool = True) -> np.ndarray:
+    def __call__(
+        self, x: np.ndarray, train: bool = True, uttid: Optional[str] = None
+    ) -> np.ndarray:
+        import inspect
+
         for fn in self.fns:
-            x = fn(x, train=train)
+            if "uttid" in inspect.signature(fn.__call__).parameters:
+                x = fn(x, train=train, uttid=uttid)
+            else:
+                x = fn(x, train=train)
         return x

@@ -103,6 +103,9 @@ class TransducerModel(nn.Module):
     # jax.checkpoint — O(B·chunk·U·V) live memory instead of the full
     # lattice (the warp-transducer memory-pressure fix, SURVEY §7)
     time_chunk: int = 0
+    # "scan" (lax.scan + cumlogsumexp) | "pallas" (TPU lattice kernels,
+    # losses/pallas_rnnt.py — the warp-transducer replacement)
+    loss_impl: str = "scan"
 
     def setup(self):
         self.prediction = PredictionNet(self.vocab_size, self.dunits, self.dlayers)
@@ -129,13 +132,32 @@ class TransducerModel(nn.Module):
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         hs, hlens = self.encode(speech, speech_lengths, deterministic)
         g = self.prediction(text, deterministic=deterministic)  # (B, U+1, D)
-        if self.time_chunk > 0:
+        if self.loss_impl == "pallas":
+            from espnet_tpu.losses.pallas_rnnt import rnnt_loss_pallas
+
+            lattice_loss = rnnt_loss_pallas
+        else:
             from espnet_tpu.losses.transducer import rnnt_loss_from_log_probs
 
+            lattice_loss = rnnt_loss_from_log_probs
+        if self.time_chunk > 0:
             lp_blank, lp_emit = self._chunked_lattice_log_probs(hs, g, text)
-            nll = rnnt_loss_from_log_probs(
-                lp_blank, lp_emit, hlens, text_lengths
+            nll = lattice_loss(lp_blank, lp_emit, hlens, text_lengths)
+        elif self.loss_impl == "pallas":
+            logits = self.joint.lattice(hs, g)  # (B, T, U+1, V)
+            lse = jax.nn.logsumexp(logits, axis=-1)
+            labels_c = jnp.where(text < 0, 0, text)
+            lab = jnp.broadcast_to(
+                labels_c[:, None, :], (logits.shape[0], logits.shape[1], text.shape[1])
             )
+            lp_blank = logits[..., self.blank] - lse
+            lp_emit = (
+                jnp.take_along_axis(
+                    logits[:, :, :-1, :], lab[..., None], axis=3
+                )[..., 0]
+                - lse[:, :, :-1]
+            )
+            nll = lattice_loss(lp_blank, lp_emit, hlens, text_lengths)
         else:
             logits = self.joint.lattice(hs, g)  # (B, T, U+1, V)
             nll = rnnt_loss(logits, text, hlens, text_lengths, blank=self.blank)

@@ -30,7 +30,12 @@ from espnet_tpu.models.asr import (
     TransformerDecoder,
     TransformerEncoder,
 )
-from espnet_tpu.models.asr.frontend import DefaultFrontend, GlobalMVN, UtteranceMVN
+from espnet_tpu.models.asr.frontend import (
+    BeamformerFrontend,
+    DefaultFrontend,
+    GlobalMVN,
+    UtteranceMVN,
+)
 from espnet_tpu.text.tokenizers import TokenIDConverter, build_tokenizer
 from espnet_tpu.train.optimizers import build_optimizer
 from espnet_tpu.train.schedulers import noam_schedule, warmup_lr_schedule
@@ -38,6 +43,20 @@ from espnet_tpu.train.trainer import Trainer
 from espnet_tpu.utils.config import load_yaml, save_yaml
 
 logger = logging.getLogger(__name__)
+
+
+def _build_frontend(config):
+    """frontend: default | beamformer (multi-channel WPE→MVDR→fbank,
+    reference frontends/frontend.py:15) | none."""
+    kind = config.get("frontend")
+    conf = config.get("frontend_conf", {})
+    if kind == "default":
+        return DefaultFrontend(**conf)
+    if kind == "beamformer":
+        conf = {k: v for k, v in conf.items() if k != "channels"}
+        return BeamformerFrontend(**conf)
+    return None
+
 
 ENCODERS = {
     "transformer": TransformerEncoder,
@@ -93,8 +112,8 @@ def build_model(config: Dict[str, Any], vocab_size: int):
         from espnet_tpu.models.transducer import TransducerModel
 
         t_frontend = None
-        if config.get("frontend") == "default":
-            t_frontend = DefaultFrontend(**config.get("frontend_conf", {}))
+        if config.get("frontend") in ("default", "beamformer"):
+            t_frontend = _build_frontend(config)
         t_normalize = None
         if config.get("normalize") == "global_mvn":
             fd = (
@@ -120,8 +139,8 @@ def build_model(config: Dict[str, Any], vocab_size: int):
         dec_cls = DECODERS[config["decoder"]]
         dec = dec_cls(vocab_size, **config.get("decoder_conf", {}))
     frontend = None
-    if config.get("frontend") == "default":
-        frontend = DefaultFrontend(**config.get("frontend_conf", {}))
+    if config.get("frontend") in ("default", "beamformer"):
+        frontend = _build_frontend(config)
     normalize = None
     if config.get("normalize") == "global_mvn":
         feat_dim = (
@@ -209,8 +228,8 @@ def collect_stats(
     pre = build_preprocessor(config, token_list)
     ds = ESPnetDataset(data, preprocessor=pre)
     frontend = None
-    if config.get("frontend") == "default":
-        frontend = DefaultFrontend(**config.get("frontend_conf", {}))
+    if config.get("frontend") in ("default", "beamformer"):
+        frontend = _build_frontend(config)
 
     shapes: Dict[str, Dict[str, Tuple[int, ...]]] = {}
     count = 0
@@ -379,6 +398,10 @@ def build_model_from_file(config_file, ckpt_file):
     d = config.get("input_size", 80)
     if config.get("frontend") == "default":
         dummy = np.zeros((1, 1600), dtype=np.float32)
+        lens = np.array([1600], dtype=np.int32)
+    elif config.get("frontend") == "beamformer":
+        n_ch = config.get("frontend_conf", {}).get("channels", 2)
+        dummy = np.zeros((1, 1600, n_ch), dtype=np.float32)
         lens = np.array([1600], dtype=np.int32)
     else:
         dummy = np.zeros((1, 40, d), dtype=np.float32)

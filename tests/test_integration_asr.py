@@ -11,6 +11,8 @@ import pytest
 from espnet_tpu.data.kaldi_io import write_scp
 from espnet_tpu.data.wav import write_wav
 
+pytestmark = pytest.mark.slow  # integration-scale trainings
+
 FS = 8000
 LETTERS = ["A", "B", "C", "D"]
 FREQS = {l: 400 + 300 * i for i, l in enumerate(LETTERS)}

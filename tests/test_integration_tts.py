@@ -1,12 +1,15 @@
 """TTS end-to-end integration: synthetic corpus → collect-stats →
 train tiny Tacotron2 via task API → Text2Speech synthesis to waveform
 (analog of reference egs/mini_an4/tts1 CI run)."""
+import pytest
 from pathlib import Path
 
 import numpy as np
 
 from espnet_tpu.data.kaldi_io import write_scp
 from espnet_tpu.data.wav import write_wav
+
+pytestmark = pytest.mark.slow  # integration-scale trainings
 
 FS = 8000
 LETTERS = ["A", "B", "C"]

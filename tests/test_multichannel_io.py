@@ -1,0 +1,166 @@
+"""Multi-channel pipeline + HDF5 IO tests (reference analogs:
+test/test_transform.py WPE/channel-selector, test/espnet2/fileio tests,
+frontends/frontend.py multi-channel path)."""
+import numpy as np
+import pytest
+
+from espnet_tpu.data.transform import (
+    ChannelSelector,
+    RIRConvolve,
+    Transformation,
+    WPE,
+)
+
+
+def _reverb_signal(t=8000, c=2, seed=0):
+    """Late reverberation (lags ≥ several STFT frames — what WPE removes;
+    early reflections within one frame are not its job)."""
+    rng = np.random.RandomState(seed)
+    dry = rng.randn(t).astype(np.float32)
+    chans = []
+    for ci in range(c):
+        rir = np.zeros(1200, np.float32)
+        rir[0] = 1.0
+        rir[300 + 17 * ci] = 0.8
+        rir[700 + 31 * ci] = 0.5
+        chans.append(np.convolve(dry, rir, mode="full")[:t])
+    return dry, np.stack(chans, axis=-1)  # (T, C)
+
+
+def test_channel_selector():
+    x = np.arange(20).reshape(10, 2).astype(np.float32)
+    cs = ChannelSelector(train_channel=1, eval_channel=0)
+    np.testing.assert_array_equal(cs(x, train=True), x[:, 1])
+    np.testing.assert_array_equal(cs(x, train=False), x[:, 0])
+    rnd = ChannelSelector(train_channel="random")
+    assert rnd(x, train=True).shape == (10,)
+    # mono passes through
+    mono = np.arange(5.0)
+    np.testing.assert_array_equal(cs(mono, train=True), mono)
+
+
+def test_rir_convolve(tmp_path):
+    from espnet_tpu.data.wav import write_wav
+
+    rir = np.zeros(64, np.float32)
+    rir[0], rir[20] = 1.0, 0.5
+    write_wav(tmp_path / "rir.wav", 16000, rir)
+    (tmp_path / "utt2rir").write_text(f"utt1 {tmp_path}/rir.wav\n")
+    t = RIRConvolve(str(tmp_path / "utt2rir"))
+    x = np.random.RandomState(0).randn(1000).astype(np.float32)
+    y = t(x, train=True, uttid="utt1")
+    assert y.shape == x.shape
+    assert not np.allclose(y, x)
+    # unknown utt / eval mode: passthrough
+    np.testing.assert_array_equal(t(x, train=True, uttid="nope"), x)
+    np.testing.assert_array_equal(t(x, train=False, uttid="utt1"), x)
+
+
+def test_wpe_reduces_late_reverb():
+    from espnet_tpu.data.transform import spectrogram
+
+    dry, wet = _reverb_signal()
+    # stft each channel → (T, C, F)
+    specs = np.stack(
+        [spectrogram(wet[:, c], n_fft=256, hop_length=64) for c in range(2)],
+        axis=1,
+    ).astype(np.complex64)
+    # spectrogram returns magnitudes; build complex stft manually instead
+    from espnet_tpu.ops.stft import stft
+    import jax.numpy as jnp
+
+    sp = np.stack(
+        [np.asarray(stft(jnp.asarray(wet[:, c])[None], None, 256, 64)[0][0])
+         for c in range(2)],
+        axis=1,
+    )  # (T, C, F)
+    out = WPE(taps=10, delay=2, iterations=2)(sp)
+    assert out.shape == sp.shape
+    dry_sp = np.asarray(stft(jnp.asarray(dry)[None], None, 256, 64)[0][0])
+    # dereverbed channel 0 should be closer to the dry stft than the wet one
+    err_wet = np.abs(np.abs(sp[:, 0]) - np.abs(dry_sp)).mean()
+    err_wpe = np.abs(np.abs(out[:, 0]) - np.abs(dry_sp)).mean()
+    assert err_wpe < err_wet
+
+
+def test_sound_hdf5_roundtrip(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    from espnet_tpu.data.hdf5 import SoundHDF5File, load_hdf5, load_sound_hdf5
+
+    f = tmp_path / "a.wav.h5"
+    wav = (np.random.RandomState(0).randn(800) * 1000).astype(np.int16)
+    with SoundHDF5File(f, "w") as w:
+        w["utt1"] = (wav, 16000)
+    with SoundHDF5File(f, "r") as r:
+        got, rate = r["utt1"]
+        assert rate == 16000
+        np.testing.assert_array_equal(got, wav)
+        assert "utt1" in r
+    x = load_sound_hdf5(f"{f}:utt1")
+    assert x.dtype == np.float32 and len(x) == 800
+
+    # plain hdf5 loader
+    g = tmp_path / "feats.h5"
+    with h5py.File(g, "w") as hf:
+        hf["utt1"] = np.ones((7, 3), np.float32)
+    np.testing.assert_array_equal(load_hdf5(f"{g}:utt1"), np.ones((7, 3)))
+
+
+def test_dataset_hdf5_types(tmp_path):
+    pytest.importorskip("h5py")
+    from espnet_tpu.data.dataset import ESPnetDataset
+    from espnet_tpu.data.hdf5 import SoundHDF5File
+
+    f = tmp_path / "a.wav.h5"
+    with SoundHDF5File(f, "w") as w:
+        w["utt1"] = ((np.random.RandomState(0).randn(400) * 100).astype(np.int16), 8000)
+    (tmp_path / "wav.scp").write_text(f"utt1 {f}:utt1\n")
+    ds = ESPnetDataset([(str(tmp_path / "wav.scp"), "speech", "sound.hdf5")])
+    assert ds["utt1"]["speech"].shape == (400,)
+
+
+def test_beamformer_frontend_asr_end_to_end():
+    """Multi-channel synthetic decode through WPE→MVDR→fbank in-graph
+    (VERDICT r1 item 9 done-criterion)."""
+    import jax
+    import jax.numpy as jnp
+
+    from espnet_tpu.tasks.asr import build_model
+
+    config = {
+        "frontend": "beamformer",
+        "frontend_conf": {
+            "fs": 8000, "n_fft": 128, "hop_length": 64, "n_mels": 20,
+            "use_wpe": True, "wpe_taps": 3, "wpe_delay": 2,
+            "bf_units": 16, "bf_layers": 1,
+        },
+        "encoder": "transformer",
+        "encoder_conf": {"attention_dim": 32, "attention_heads": 2,
+                         "linear_units": 32, "num_blocks": 1},
+        "decoder": "transformer",
+        "decoder_conf": {"attention_dim": 32, "attention_heads": 2,
+                         "linear_units": 32, "num_blocks": 1},
+        "model_conf": {"ctc_weight": 0.5},
+        "input_size": 20,
+    }
+    model = build_model(config, vocab_size=8)
+    _, wet = _reverb_signal(t=2000, c=2)
+    speech = jnp.asarray(wet)[None]  # (1, T, C)
+    lens = jnp.asarray([2000])
+    ys = jnp.asarray([[1, 2, 3]], dtype=jnp.int32)
+    ylens = jnp.asarray([3])
+    variables = model.init(jax.random.PRNGKey(0), speech, lens, ys, ylens)
+
+    loss, stats = model.apply(variables, speech, lens, ys, ylens)
+    assert np.isfinite(float(loss))
+    # grads flow through the mask estimator (beamformer is trainable)
+    g = jax.grad(
+        lambda p: model.apply({"params": p}, speech, lens, ys, ylens)[0]
+    )(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    gnorm = float(sum(float(jnp.sum(x**2)) for x in leaves) ** 0.5)
+    assert gnorm > 0
+    # encode → (B, T', n_mels→enc dim) path used by decode
+    hs, hlens = model.apply(variables, speech, lens, method="encode")
+    assert hs.shape[0] == 1 and np.isfinite(np.asarray(hs)).all()

@@ -1,6 +1,9 @@
 """Transducer end-to-end via task + CLI: train with model_type=transducer
 on the synthetic tone corpus, decode greedily through asr_recog."""
+import pytest
 import numpy as np
+
+pytestmark = pytest.mark.slow  # integration-scale trainings
 
 
 def test_transducer_task_pipeline(tmp_path):
