@@ -43,6 +43,8 @@ class Speech2Text:
         lm=None,
         lm_variables=None,
         lm_weight: float = 0.0,
+        ngram_arpa=None,
+        ngram_weight: float = 0.0,
         penalty: float = 0.0,
         maxlenratio: float = 0.0,
         minlenratio: float = 0.0,
@@ -75,6 +77,12 @@ class Speech2Text:
                 scorers["decoder"] = transformer_decoder_cached_scorer(
                     dec, dec_vars, 1.0 - ctc_weight
                 )
+        if ngram_arpa and ngram_weight > 0:
+            from espnet_tpu.text.ngram import ArpaLM, ngram_full_scorer
+
+            scorers["ngram"] = ngram_full_scorer(
+                ArpaLM.load(ngram_arpa), token_list, ngram_weight
+            )
         if lm is not None and lm_weight > 0:
             from espnet_tpu.models.lm.models import SequentialRNNLM
 

@@ -37,8 +37,12 @@ def main(argv=None):
     parser.add_argument("--lm_config", default=None)
     parser.add_argument("--lm_ckpt", default=None)
     parser.add_argument("--lm_weight", type=float, default=0.0)
+    parser.add_argument("--ngram_arpa", default=None,
+                        help="ARPA LM for exact any-order jitted fusion")
+    parser.add_argument("--ngram_weight", type=float, default=0.0)
     parser.add_argument("--transducer_search", default="greedy",
-                        choices=["greedy", "default", "tsd", "alsd", "nsc"])
+                        choices=["greedy", "default", "tsd", "alsd",
+                                 "alsd_batch", "nsc"])
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -74,6 +78,8 @@ def main(argv=None):
         lm=lm,
         lm_variables=lm_vars,
         lm_weight=args.lm_weight,
+        ngram_arpa=args.ngram_arpa,
+        ngram_weight=args.ngram_weight,
     )
 
     data = [tuple(s.split(",")) for s in args.data]
@@ -131,6 +137,7 @@ def _transducer_recog(args, model, variables, token_list):
     from espnet_tpu.data.kaldi_io import read_scp
     from espnet_tpu.search.transducer import (
         transducer_alsd_decode,
+        transducer_alsd_decode_batch,
         transducer_beam_decode,
         transducer_greedy_decode,
         transducer_nsc_decode,
@@ -162,6 +169,16 @@ def _transducer_recog(args, model, variables, token_list):
             ids, lens = np.asarray(ids), np.asarray(lens)
             results = [
                 [int(x) for x in ids[b][: lens[b]]] for b in range(len(kb))
+            ]
+        elif args.transducer_search == "alsd_batch":
+            # jittable whole-batch device beam search (no host loop)
+            yseq, ylens, _ = transducer_alsd_decode_batch(
+                model, variables, hs, hlens, beam_size=args.beam_size
+            )
+            yseq, ylens = np.asarray(yseq), np.asarray(ylens)
+            results = [
+                [int(x) for x in yseq[b, 0, : ylens[b, 0]]]
+                for b in range(len(kb))
             ]
         else:
             fn = beam_fns[args.transducer_search]

@@ -106,9 +106,26 @@ class TransducerModel(nn.Module):
     # "scan" (lax.scan + cumlogsumexp) | "pallas" (TPU lattice kernels,
     # losses/pallas_rnnt.py — the warp-transducer replacement)
     loss_impl: str = "scan"
+    # prediction net: "lstm" (default) | "transformer" (reference
+    # transducer/transformer_decoder.py causal prediction net)
+    pred_type: str = "lstm"
+    pred_heads: int = 4
+    pred_units: int = 1024
 
     def setup(self):
-        self.prediction = PredictionNet(self.vocab_size, self.dunits, self.dlayers)
+        if self.pred_type == "transformer":
+            from espnet_tpu.models.transducer.blocks import (
+                TransformerPredictionNet,
+            )
+
+            self.prediction = TransformerPredictionNet(
+                self.vocab_size, self.dunits, self.dlayers,
+                self.pred_heads, self.pred_units,
+            )
+        else:
+            self.prediction = PredictionNet(
+                self.vocab_size, self.dunits, self.dlayers
+            )
         self.joint = JointNetwork(self.vocab_size, self.joint_dim)
         if self.aux_ctc_weight > 0:
             from espnet_tpu.models.asr.ctc import CTCHead

@@ -44,7 +44,11 @@ def transducer_greedy_decode(
             is_blank = (tok == blank) | (tidx >= hlens)
             new_carry, new_g = model.apply(variables, carry, tok, method="pred_step")
             carry = jax.tree_util.tree_map(
-                lambda n, o: jnp.where(is_blank[:, None], o, n), new_carry, carry
+                lambda n, o: jnp.where(
+                    is_blank.reshape((-1,) + (1,) * (n.ndim - 1)), o, n
+                ),
+                new_carry,
+                carry,
             )
             g = jnp.where(is_blank[:, None], g, new_g)
             outs.append(jnp.where(is_blank, blank, tok))
@@ -315,3 +319,178 @@ def transducer_nsc_decode(
     key = (lambda h: h.score / max(len(h.yseq), 1)) if score_norm else (lambda h: h.score)
     B.sort(key=key, reverse=True)
     return [(list(h.yseq), h.score) for h in B]
+
+
+def transducer_alsd_decode_batch(
+    model,
+    variables,
+    hs: jnp.ndarray,      # (B, T, D) encoder output
+    hlens: jnp.ndarray,   # (B,)
+    beam_size: int = 5,
+    u_max_ratio: float = 1.0,
+    score_norm: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched, fully jittable ALSD beam search — the TPU-first redesign
+    of align_length_sync_decoding (beam_search_transducer.py:349).
+
+    All hypotheses advance along n = t + u diagonals with STATIC beam
+    width: per step, one batched joint over (B, W) hyps, blank + top-W
+    label candidates, exact logaddexp prefix recombination over the
+    candidate pool (pairwise padded-yseq equality — W(W+1) candidates,
+    O(C²·U) vector compares), top-W selection, and a fixed-size final
+    set harvested when t reaches hlen. One jax.lax.scan over T+U steps;
+    no host round-trips.
+
+    Returns (yseq (B, W, U) blank-padded, ylens (B, W), scores (B, W))
+    sorted best-first (score/len when score_norm, reference kept-sort
+    convention).
+    """
+    b, t_max, _ = hs.shape
+    w = beam_size
+    u_max = max(int(u_max_ratio * t_max), 1)
+    blank = model.blank
+    neg = -1.0e30
+
+    def pred_flat(carry, tokens):
+        # carry leaves (B*W, ...), tokens (B*W,)
+        return model.apply(variables, carry, tokens, method="pred_step")
+
+    def joint_flat(h, g):
+        return model.apply(variables, h, g, method="joint_step")
+
+    carry0 = model.apply(variables, b * w, method="pred_init")
+    _, g0 = pred_flat(carry0, jnp.zeros((b * w,), jnp.int32))
+
+    yseq0 = jnp.zeros((b, w, u_max), jnp.int32)
+    ylen0 = jnp.zeros((b, w), jnp.int32)
+    # only beam slot 0 starts alive (the reference's single empty hyp)
+    score0 = jnp.where(jnp.arange(w)[None, :] == 0, 0.0, neg) * jnp.ones((b, 1))
+    fin_score0 = jnp.full((b, w), neg)
+    fin_yseq0 = jnp.zeros((b, w, u_max), jnp.int32)
+    fin_ylen0 = jnp.zeros((b, w), jnp.int32)
+
+    k = w  # label expansions per hyp
+    c = w * (k + 1)  # candidate pool size
+    upos = jnp.arange(u_max)[None, None, :]
+
+    def _merge_scores(scores, ylen, yseq):
+        """Exact prefix recombination: logaddexp identical (ylen, yseq)
+        candidates into the first occurrence, kill the rest."""
+        same_len = ylen[:, :, None] == ylen[:, None, :]          # (B,C,C)
+        same_seq = jnp.all(
+            yseq[:, :, None, :] == yseq[:, None, :, :], axis=-1
+        )
+        alive = (scores > neg / 2)
+        eq = same_len & same_seq & alive[:, :, None] & alive[:, None, :]
+        # logsumexp over the row's duplicates
+        dup_scores = jnp.where(eq, scores[:, None, :], neg)
+        merged = jax.nn.logsumexp(dup_scores, axis=-1)
+        idx = jnp.arange(c)
+        first = ~jnp.any(eq & (idx[None, None, :] < idx[None, :, None]), axis=-1)
+        return jnp.where(alive & first, merged, neg)
+
+    def step(state, n):
+        yseq, ylen, score, carry, g, fin_s, fin_y, fin_l = state
+        t = n - ylen  # (B, W)
+        active = (score > neg / 2) & (t < hlens[:, None]) & (t >= 0)
+        h_t = jnp.take_along_axis(
+            hs, jnp.clip(t, 0, t_max - 1)[..., None], axis=1
+        )  # (B, W, D) — take per (b, w)
+
+        logp = joint_flat(
+            h_t.reshape(b * w, -1), g
+        ).reshape(b, w, -1)  # (B, W, V)
+
+        # blank candidates: same labels, t advances (implicitly at n+1)
+        sc_blank = jnp.where(active, score + logp[..., blank], neg)  # (B,W)
+        # label candidates: top-k non-blank; per-utterance label cap
+        # u_max_i = ratio · hlen_i (reference beam_search_transducer.py:362)
+        lp_lab = logp.at[..., blank].set(neg)
+        lab_scores, lab_ids = jax.lax.top_k(lp_lab, k)  # (B, W, K)
+        u_cap = jnp.minimum(
+            (u_max_ratio * hlens).astype(jnp.int32), u_max
+        )
+        can_extend = active & (ylen < u_cap[:, None])
+        sc_lab = jnp.where(can_extend[..., None], score[..., None] + lab_scores, neg)
+
+        # pool: parent w, kind 0=blank else label j-1
+        pool_scores = jnp.concatenate(
+            [sc_blank[..., None], sc_lab], axis=2
+        ).reshape(b, c)
+        parent = jnp.broadcast_to(
+            jnp.arange(w)[None, :, None], (b, w, k + 1)
+        ).reshape(b, c)
+        kind = jnp.broadcast_to(
+            jnp.arange(k + 1)[None, None, :], (b, w, k + 1)
+        ).reshape(b, c)
+        lab_full = jnp.concatenate(
+            [jnp.zeros((b, w, 1), jnp.int32), lab_ids], axis=2
+        ).reshape(b, c)
+
+        par_yseq = jnp.take_along_axis(yseq, parent[..., None], axis=1)  # (B,C,U)
+        par_ylen = jnp.take_along_axis(ylen, parent, axis=1)
+        is_lab = kind > 0
+        cand_ylen = par_ylen + is_lab.astype(jnp.int32)
+        cand_yseq = jnp.where(
+            (upos == par_ylen[..., None]) & is_lab[..., None],
+            lab_full[..., None],
+            par_yseq,
+        )
+
+        merged = _merge_scores(pool_scores, cand_ylen, cand_yseq)
+
+        # harvest finals: blank candidates whose frame was the last
+        par_t = jnp.take_along_axis(t, parent, axis=1)
+        is_final = (kind == 0) & (par_t == hlens[:, None] - 1) & (merged > neg / 2)
+        fin_cand = jnp.where(is_final, merged, neg)
+        # merge final candidates + existing finals, recombine, keep top W
+        all_fs = jnp.concatenate([fin_s, fin_cand], axis=1)          # (B, W+C)
+        all_fy = jnp.concatenate([fin_y, cand_yseq], axis=1)
+        all_fl = jnp.concatenate([fin_l, cand_ylen], axis=1)
+        fs_top, fi = jax.lax.top_k(all_fs, w)
+        fin_s = fs_top
+        fin_y = jnp.take_along_axis(all_fy, fi[..., None], axis=1)
+        fin_l = jnp.take_along_axis(all_fl, fi, axis=1)
+
+        # top-W beam selection
+        sel_scores, sel = jax.lax.top_k(merged, w)  # (B, W)
+        sel_parent = jnp.take_along_axis(parent, sel, axis=1)
+        sel_kind = jnp.take_along_axis(kind, sel, axis=1)
+        sel_label = jnp.take_along_axis(lab_full, sel, axis=1)
+        new_yseq = jnp.take_along_axis(cand_yseq, sel[..., None], axis=1)
+        new_ylen = jnp.take_along_axis(cand_ylen, sel, axis=1)
+
+        # pred-net state: gather parent state, step for label-extends
+        flat_par = (jnp.arange(b)[:, None] * w + sel_parent).reshape(-1)
+        par_carry = jax.tree_util.tree_map(lambda x: x[flat_par], carry)
+        par_g = g[flat_par]
+        new_carry, new_g = pred_flat(par_carry, sel_label.reshape(-1))
+        ext = (sel_kind > 0).reshape(-1)
+        carry = jax.tree_util.tree_map(
+            lambda nw, old: jnp.where(
+                ext.reshape((-1,) + (1,) * (nw.ndim - 1)), nw, old
+            ),
+            new_carry,
+            par_carry,
+        )
+        g = jnp.where(ext[:, None], new_g, par_g)
+
+        return (new_yseq, new_ylen, sel_scores, carry, g, fin_s, fin_y, fin_l), None
+
+    state0 = (yseq0, ylen0, score0, carry0, g0, fin_score0, fin_yseq0, fin_ylen0)
+    state, _ = jax.lax.scan(step, state0, jnp.arange(t_max + u_max))
+    yseq, ylen, score, _, _, fin_s, fin_y, fin_l = state
+
+    # pool = finals if any else live beam (reference fallback)
+    have_final = jnp.any(fin_s > neg / 2, axis=1, keepdims=True)
+    pool_s = jnp.where(have_final, fin_s, score)
+    pool_y = jnp.where(have_final[..., None], fin_y, yseq)
+    pool_l = jnp.where(have_final, fin_l, ylen)
+    rank = pool_s / jnp.maximum(pool_l, 1) if score_norm else pool_s
+    rank = jnp.where(pool_s > neg / 2, rank, neg)
+    order = jnp.argsort(-rank, axis=1)
+    return (
+        jnp.take_along_axis(pool_y, order[..., None], axis=1),
+        jnp.take_along_axis(pool_l, order, axis=1),
+        jnp.take_along_axis(pool_s, order, axis=1),
+    )

@@ -104,8 +104,18 @@ DEFAULT_CONFIG: Dict[str, Any] = {
 
 
 def build_model(config: Dict[str, Any], vocab_size: int):
-    enc_cls = ENCODERS[config["encoder"]]
-    enc = enc_cls(**config.get("encoder_conf", {}))
+    if config["encoder"] == "custom":
+        # mixed-architecture block stack (reference transducer/blocks.py:463)
+        from espnet_tpu.models.transducer.blocks import BlockEncoder, freeze_blocks
+
+        ec = dict(config.get("encoder_conf", {}))
+        enc = BlockEncoder(
+            blocks=freeze_blocks(ec.get("blocks", [])),
+            input_proj=ec.get("input_proj"),
+        )
+    else:
+        enc_cls = ENCODERS[config["encoder"]]
+        enc = enc_cls(**config.get("encoder_conf", {}))
     model_conf = dict(config.get("model_conf", {}))
     model_type = config.get("model_type", "asr")
     if model_type == "transducer":
@@ -169,7 +179,9 @@ def build_model(config: Dict[str, Any], vocab_size: int):
 
 def build_preprocessor(config: Dict[str, Any], token_list: List[str]):
     tokenizer = build_tokenizer(
-        config.get("token_type", "char"), bpemodel=config.get("bpemodel")
+        config.get("token_type", "char"),
+        bpemodel=config.get("bpemodel"),
+        g2p_type=config.get("g2p"),
     )
     converter = TokenIDConverter(token_list)
     return CommonPreprocessor(tokenizer, converter)

@@ -81,6 +81,12 @@ class TTSTaskModel(nn.Module):
         conf = dict(self.feats_conf)
         feats, feat_lens = log_mel_spectrogram(speech, speech_lengths, **conf)
         feats = (feats - self.mean.value) / jnp.maximum(self.std.value, 1e-10)
+        # pad frames to a reduction-factor multiple (autoregressive TTS
+        # groups r frames per decoder step)
+        r = getattr(self.tts, "reduction_factor", 1)
+        pad = (-feats.shape[1]) % r
+        if pad:
+            feats = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
         kwargs = {}
         if isinstance(self.tts, FastSpeech2):
             kwargs = dict(durations=durations, pitch=pitch, energy=energy)

@@ -123,3 +123,150 @@ def ngram_scorer(lm: ArpaLM, token_list: List[str], weight: float):
         return bi_t[last], state
 
     return FullScorer(weight, init, score)
+
+
+def _encode_keys(ids: "np.ndarray", v: int) -> "np.ndarray":
+    """Row-wise positional encoding of token-id tuples into int64 keys
+    (base V+1, ids shifted by 1 so 0 can pad short contexts)."""
+    import numpy as np
+
+    base = v + 1
+    keys = np.zeros(len(ids), dtype=np.int64)
+    for col in range(ids.shape[1]):
+        keys = keys * base + (ids[:, col] + 1)
+    return keys
+
+
+def build_ngram_tables(lm: ArpaLM, token_list: List[str], sos_symbol="<sos/eos>"):
+    """ARPA n-grams → per-order sorted (keys, logp, backoff) arrays for
+    exact jitted lookup at ANY order (reference scorers/ngram.py:12 uses
+    kenlm C++; here the tables live on device and are probed with
+    jnp.searchsorted under jit)."""
+    import numpy as np
+
+    v = len(token_list)
+    tok2id = {t: i for i, t in enumerate(token_list)}
+    # "<s>" gets the RESERVED internal id v (context-only — it is never a
+    # prediction target, but its unigram entry carries the start-context
+    # backoff weight); "</s>" maps to the decoder's eos token so target
+    # queries find the end-of-sentence probability. Collapsing both onto
+    # one id collides their unigram entries.
+    sos_ctx_id = v
+
+    def wid(w):
+        if w == "<s>":
+            return sos_ctx_id
+        if w == "</s>":
+            return tok2id.get(sos_symbol, 0)
+        return tok2id.get(w, tok2id.get("<unk>", 0))
+
+    tables = {}
+    for order, grams in lm.ngrams.items():
+        ids = np.zeros((len(grams), order), dtype=np.int64)
+        logp = np.zeros(len(grams), dtype=np.float32)
+        bo = np.zeros(len(grams), dtype=np.float32)
+        for row, (words, (lp, b)) in enumerate(grams.items()):
+            for col, w in enumerate(words):
+                ids[row, col] = wid(w)
+            logp[row] = lp
+            bo[row] = b
+        keys = _encode_keys(ids, v + 1)  # base v+2: ids go up to v
+        order_idx = np.argsort(keys, kind="stable")
+        # duplicate keys possible (<s>/</s> both map to sos); keep first
+        keys_s = keys[order_idx]
+        keep = np.ones(len(keys_s), bool)
+        keep[1:] = keys_s[1:] != keys_s[:-1]
+        tables[order] = (
+            keys_s[keep],
+            logp[order_idx][keep],
+            bo[order_idx][keep],
+        )
+    return tables, v
+
+
+def ngram_full_scorer(
+    lm: ArpaLM, token_list: List[str], weight: float, sos_symbol="<sos/eos>"
+):
+    """FullScorer with EXACT arbitrary-order backoff inside the jitted
+    beam search: for each hypothesis, the last (K-1) tokens form the
+    context; scores for all V successors resolve highest-order-first with
+    ARPA backoff, each order one sorted-array probe (searchsorted)."""
+    import jax
+    import jax.numpy as jnp
+
+    from espnet_tpu.search.beam_search import FullScorer
+
+    tables, v = build_ngram_tables(lm, token_list, sos_symbol)
+    k_max = max(tables)
+    base = v + 2  # ids 0..v (v = reserved "<s>" context id), +1 shift
+    dev = {
+        o: tuple(jnp.asarray(a) for a in tables[o]) for o in tables
+    }
+    sos_id = token_list.index(sos_symbol) if sos_symbol in token_list else 0
+
+    def probe(order, keys_q):
+        """keys_q (...,) int64 → (logp, backoff, found)."""
+        keys, logp, bo = dev[order]
+        idx = jnp.searchsorted(keys, keys_q)
+        idx_c = jnp.minimum(idx, len(keys) - 1)
+        found = keys[idx_c] == keys_q
+        return (
+            jnp.where(found, logp[idx_c], 0.0),
+            jnp.where(found, bo[idx_c], 0.0),
+            found,
+        )
+
+    def init(mem, mem_lens, maxlen=None):
+        return ()
+
+    def score(state, yseq, pos):
+        # yseq (N, L) with yseq[:,0] = sos; pos (N,) index of last token
+        n, l = yseq.shape
+        # context = last (k_max-1) tokens (right-aligned, 0-padded via
+        # the +1 shift in encoding; absent positions encode as 0)
+        ctx_enc = jnp.zeros((n,), jnp.int64)
+        valid_ctx = jnp.zeros((n,), jnp.int64)  # number of usable ctx toks
+        words = jnp.arange(v, dtype=jnp.int64)[None, :]  # (1, V)
+
+        # encode the full (k_max-1)-token context base-(V+1)
+        for back in range(k_max - 1, 0, -1):
+            idx = pos - back + 1  # token position in yseq
+            tok = jnp.take_along_axis(
+                yseq, jnp.maximum(idx, 0)[:, None], axis=1
+            )[:, 0].astype(jnp.int64)
+            # the hypothesis starts with the decoder sos token — in LM
+            # space that is the "<s>" context (reserved id v)
+            tok = jnp.where(tok == sos_id, v, tok)
+            have = idx >= 0
+            ctx_enc = jnp.where(
+                have, ctx_enc * base + (tok + 1), ctx_enc
+            )
+            valid_ctx = valid_ctx + have.astype(jnp.int64)
+
+        # resolve highest order first with backoff accumulation
+        out = jnp.zeros((n, v), jnp.float32)
+        resolved = jnp.zeros((n, v), bool)
+        bo_acc = jnp.zeros((n,), jnp.float32)
+        ctx = ctx_enc
+        for order in range(k_max, 0, -1):
+            clen = order - 1
+            usable = valid_ctx >= clen
+            if order in dev:
+                q = ctx[:, None] * base + (words + 1)  # (N, V)
+                lp, _, found = probe(order, q)
+                take = found & usable[:, None] & ~resolved
+                out = jnp.where(take, lp + bo_acc[:, None], out)
+                resolved = resolved | take
+                # backoff weight of THIS context for the next-lower order
+                if clen >= 1 and clen in dev:
+                    _, bo_c, bo_found = probe(clen, ctx)
+                    bo_acc = bo_acc + jnp.where(
+                        bo_found & usable, bo_c, 0.0
+                    )
+            # drop the oldest context token: ctx mod base^(clen-1)
+            if clen >= 1:
+                ctx = ctx % (base ** (clen - 1)) if clen > 1 else jnp.zeros_like(ctx)
+        out = jnp.where(resolved, out, -20.0 + bo_acc[:, None])  # OOV floor
+        return out, state
+
+    return FullScorer(weight, init, score)
