@@ -94,7 +94,10 @@ class BeamformerFrontend(nn.Module):
     ref_channel: int = 0
 
     @nn.compact
-    def __call__(self, speech: jnp.ndarray, lengths: jnp.ndarray):
+    def __call__(
+        self, speech: jnp.ndarray, lengths: jnp.ndarray,
+        return_wave: bool = False,
+    ):
         from espnet_tpu.models.enh.beamformer import DNNBeamformer, wpe_dereverb
         from espnet_tpu.ops.stft import mel_filterbank, stft
 
@@ -118,6 +121,12 @@ class BeamformerFrontend(nn.Module):
         enhanced, flens, _ = DNNBeamformer(
             self.bf_units, self.bf_layers, self.ref_channel
         )(spec, flens)
+        if return_wave:
+            # asr_enhance output path: enhanced waveform via iSTFT
+            from espnet_tpu.ops.griffin_lim import istft
+
+            wav = istft(enhanced, self.n_fft, self.hop_length)
+            return wav, flens
         power = jnp.abs(enhanced) ** 2  # (B, T, F)
         mel = jnp.asarray(
             mel_filterbank(

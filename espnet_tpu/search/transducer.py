@@ -35,13 +35,18 @@ def transducer_greedy_decode(
     _, g0 = model.apply(variables, carry0, token0, method="pred_step")
 
     def frame_step(state, inp):
-        carry, g, emitted = state
+        carry, g = state
         h_t, tidx = inp  # (B, D), scalar
         outs = []
+        # once a row emits blank it stays blank for the rest of the frame
+        # (stuck tracks it so later micro-steps are no-ops for that row;
+        # the joint still computes batched — SIMD over the batch)
+        stuck = jnp.zeros(h_t.shape[0], bool)
         for _ in range(max_symbols):
             logp = model.apply(variables, h_t, g, method="joint_step")  # (B,V)
             tok = jnp.argmax(logp, axis=-1)  # (B,)
-            is_blank = (tok == blank) | (tidx >= hlens)
+            is_blank = (tok == blank) | (tidx >= hlens) | stuck
+            stuck = is_blank
             new_carry, new_g = model.apply(variables, carry, tok, method="pred_step")
             carry = jax.tree_util.tree_map(
                 lambda n, o: jnp.where(
@@ -52,11 +57,11 @@ def transducer_greedy_decode(
             )
             g = jnp.where(is_blank[:, None], g, new_g)
             outs.append(jnp.where(is_blank, blank, tok))
-        return (carry, g, emitted), jnp.stack(outs, axis=1)  # (B, max_symbols)
+        return (carry, g), jnp.stack(outs, axis=1)  # (B, max_symbols)
 
-    (carry, g, _), toks = jax.lax.scan(
+    (carry, g), toks = jax.lax.scan(
         frame_step,
-        (carry0, g0, jnp.zeros((b,), jnp.int32)),
+        (carry0, g0),
         (jnp.transpose(hs, (1, 0, 2)), jnp.arange(t)),
     )
     toks = jnp.transpose(toks, (1, 0, 2)).reshape(b, t * max_symbols)

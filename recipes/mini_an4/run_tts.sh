@@ -9,7 +9,7 @@ cd "$(dirname "$0")"
 export PYTHONPATH="$(cd ../..; pwd):${PYTHONPATH:-}"
 
 stage=0
-stop_stage=4
+stop_stage=5
 tarball=/root/reference/egs/mini_an4/asr1/downloads.tar.gz
 expdir=exp
 datadir=data
@@ -69,4 +69,16 @@ if [ $stage -le 4 ] && [ $stop_stage -ge 4 ]; then
     --ckpt $expdir/tts/latest.ckpt \
     --output_dir $expdir/tts/synth
   ls -la $expdir/tts/synth/wav/
+fi
+
+if [ $stage -le 5 ] && [ $stop_stage -ge 5 ]; then
+  echo "=== stage 5: MCD evaluation (synth vs real)"
+  python - <<'PYEOF'
+from pathlib import Path
+lines = [f"{w.stem} {w.resolve()}" for w in sorted(Path('exp/tts/synth/wav').glob('*.wav'))]
+Path('exp/tts/synth/hyp_wav.scp').write_text("\n".join(lines))
+PYEOF
+  python -m espnet_tpu.bin.mcd_calculate \
+    --ref data/train/wav.scp --hyp exp/tts/synth/hyp_wav.scp \
+    --out exp/tts/synth/mcd.json
 fi

@@ -164,3 +164,26 @@ def test_beamformer_frontend_asr_end_to_end():
     # encode → (B, T', n_mels→enc dim) path used by decode
     hs, hlens = model.apply(variables, speech, lens, method="encode")
     assert hs.shape[0] == 1 and np.isfinite(np.asarray(hs)).all()
+
+
+def test_asr_enhance_wave_output():
+    """BeamformerFrontend return_wave path gives a clean single-channel
+    waveform (the asr_enhance CLI's core)."""
+    import jax
+    import jax.numpy as jnp
+
+    from espnet_tpu.models.asr.frontend import BeamformerFrontend
+
+    fe = BeamformerFrontend(
+        fs=8000, n_fft=128, hop_length=64, n_mels=20, bf_units=8, bf_layers=1
+    )
+    _, wet = _reverb_signal(t=2000, c=2)
+    speech = jnp.asarray(wet)[None]
+    lens = jnp.asarray([2000])
+    v = fe.init(jax.random.PRNGKey(0), speech, lens)
+    wav, flens = fe.apply(v, speech, lens, return_wave=True)
+    assert wav.ndim == 2 and wav.shape[0] == 1
+    assert np.isfinite(np.asarray(wav)).all()
+    # feats path still works with the same params
+    feats, _ = fe.apply(v, speech, lens)
+    assert feats.shape[-1] == 20

@@ -217,3 +217,17 @@ def test_arbitrary_order_scorer_matches_host(tmp_path):
         for w, wi in [("A", 2), ("B", 3), ("</s>", sos)]:
             want = lm.score(("<s>",) + prefix, w)
             assert abs(got[wi] - want) < 1e-4, (prefix, w, got[wi], want)
+
+
+def test_mcd_metric():
+    """MCD: 0 for identical signals; positive and ordered for noisier."""
+    from espnet_tpu.utils.mcd import mcd
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(4000).astype(np.float32) * 0.1
+    assert mcd(x, x, fs=8000, n_fft=256, hop_length=128) < 1e-4
+    y = x + rng.randn(4000).astype(np.float32) * 0.05
+    z = x + rng.randn(4000).astype(np.float32) * 0.2
+    m_y = mcd(x, y, fs=8000, n_fft=256, hop_length=128)
+    m_z = mcd(x, z, fs=8000, n_fft=256, hop_length=128)
+    assert 0 < m_y < m_z

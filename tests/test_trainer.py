@@ -132,3 +132,34 @@ def test_task_builds_transducer_and_maskctc():
     m = build_model(cfg_m, 9)
     assert isinstance(m, MaskCTCModel)
     assert m.decoder.causal is False
+
+
+def test_all_nonfinite_steps_abort_epoch(tmp_path):
+    """Forcing nan grads: skipped steps are counted and an all-invalid
+    epoch aborts (reference espnet2/train/trainer.py:309-314)."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from espnet_tpu.train.optimizers import build_optimizer
+    from espnet_tpu.train.trainer import Trainer
+
+    class NanModel(nn.Module):
+        @nn.compact
+        def __call__(self, x, deterministic=True):
+            w = self.param("w", nn.initializers.ones, (3,))
+            loss = (x * w).sum() * jnp.nan
+            return loss, {"loss": loss}
+
+    model = NanModel()
+    tx = build_optimizer("adam", lr=1e-2)
+    trainer = Trainer(model, tx, expdir=str(tmp_path), max_epoch=1)
+    variables = model.init(jax.random.PRNGKey(0), jnp.ones((2, 3)))
+    state = trainer.init_state(variables)
+
+    def batches(epoch):
+        for _ in range(3):
+            yield {"x": np.ones((2, 3), np.float32)}
+
+    with _pytest.raises(RuntimeError, match="non-finite"):
+        trainer.train_one_epoch(state, batches(1), 1)

@@ -9,6 +9,8 @@ import time
 
 import numpy as np
 
+from espnet_tpu.utils.timing import force
+
 
 def main(beam_size=10, batch=8, t_frames=512, maxlen=48):
     import jax
@@ -41,12 +43,12 @@ def main(beam_size=10, batch=8, t_frames=512, maxlen=48):
     )
     run = jax.jit(lambda h, hl, c: bs(h, hl, ctc_logp=c, maxlen=maxlen))
     out = run(hs, hlens, ctc_logp)
-    jax.block_until_ready(out[0])
+    force(out)  # host readback: block_until_ready lies under the tunnel
     n_iter = 5
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out = run(hs, hlens, ctc_logp)
-    jax.block_until_ready(out[0])
+    force(out)  # host readback: block_until_ready lies under the tunnel
     dt = (time.perf_counter() - t0) / n_iter
     audio_s = batch * t_frames / 100.0
     print(

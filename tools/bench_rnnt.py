@@ -13,14 +13,14 @@ import numpy as np
 
 
 def time_fn(f, *args, iters=30):
-    import jax
+    from espnet_tpu.utils.timing import force
 
     out = f(*args)
-    jax.block_until_ready(out)
+    force(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = f(*args)
-    jax.block_until_ready(out)
+    force(out)  # host readback: block_until_ready lies under the tunnel
     return (time.perf_counter() - t0) / iters
 
 

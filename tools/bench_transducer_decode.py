@@ -11,6 +11,8 @@ import time
 
 import numpy as np
 
+from espnet_tpu.utils.timing import force
+
 FPS = 100.0
 
 
@@ -42,7 +44,7 @@ def main(batch=16, t_frames=256, beam=5, vocab=500):
     hs, hlens = jax.jit(
         lambda s, l: model.apply(variables, s, l, method="encode")
     )(jnp.asarray(feats), jnp.asarray(flens))
-    jax.block_until_ready(hs)
+    force(hs)
 
     # cap u_max for decode speed (labels rarely exceed ~1/4 of frames)
     run = jax.jit(
@@ -51,12 +53,12 @@ def main(batch=16, t_frames=256, beam=5, vocab=500):
         )
     )
     out = run(hs, hlens)
-    jax.block_until_ready(out[0])
+    force(out)  # host readback: block_until_ready lies under the tunnel
     n_iter = 3
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out = run(hs, hlens)
-    jax.block_until_ready(out[0])
+    force(out)  # host readback: block_until_ready lies under the tunnel
     dt_batch = (time.perf_counter() - t0) / n_iter
 
     # host per-utterance ALSD on a subset (it is slow)
