@@ -231,3 +231,27 @@ def test_mcd_metric():
     m_y = mcd(x, y, fs=8000, n_fft=256, hop_length=128)
     m_z = mcd(x, z, fs=8000, n_fft=256, hop_length=128)
     assert 0 < m_y < m_z
+
+
+def test_f0_extraction_accuracy():
+    """Autocorrelation F0 recovers known fundamental frequencies within
+    2% (pyworld-Dio functional check, SURVEY item 53)."""
+    from espnet_tpu.ops.pitch import extract_f0
+
+    fs = 16000
+    t = np.arange(fs)  # 1 s
+    for f0_true in (110.0, 220.0, 330.0):
+        # harmonic-rich (more speech-like than a pure sine)
+        wav = (
+            0.6 * np.sin(2 * np.pi * f0_true * t / fs)
+            + 0.3 * np.sin(2 * np.pi * 2 * f0_true * t / fs)
+            + 0.1 * np.sin(2 * np.pi * 3 * f0_true * t / fs)
+        ).astype(np.float32)
+        f0 = extract_f0(wav, fs=fs)
+        voiced = f0[f0 > 0]
+        assert len(voiced) > 0.8 * len(f0)
+        err = np.abs(np.median(voiced) - f0_true) / f0_true
+        assert err < 0.02, (f0_true, np.median(voiced))
+    # silence is unvoiced
+    f0 = extract_f0(np.zeros(8000, np.float32), fs=fs)
+    assert (f0 == 0).all()
