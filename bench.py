@@ -204,6 +204,9 @@ def bench_rnnt_kernel():
 def main():
     import jax
 
+    from espnet_tpu.utils.env import enable_fast_tpu_rng
+
+    enable_fast_tpu_rng()
     per_chip, mfu, model, variables, batch = bench_conformer_train()
     extra = {}
     if mfu is not None:

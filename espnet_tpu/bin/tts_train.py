@@ -8,9 +8,10 @@ from pathlib import Path
 
 
 def main(argv=None):
-    from espnet_tpu.utils.env import apply_jax_platform_env
+    from espnet_tpu.utils.env import apply_jax_platform_env, enable_fast_tpu_rng
 
     apply_jax_platform_env()
+    enable_fast_tpu_rng()
     argv = list(sys.argv[1:] if argv is None else argv)
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--train_data", action="append", default=[])

@@ -27,22 +27,34 @@ def make_batches(
     shapes: Dict[str, Sequence[int]],
     batch_size: int = 32,
     batch_bins: Optional[int] = None,
-    mode: str = "seq",  # seq | bin | frame
+    mode: str = "seq",  # seq | bin | frame | folded
     sortagrad: bool = False,
     shuffle_seed: Optional[int] = None,
     min_batch_size: int = 1,
     drop_last: bool = False,
+    fold_length: int = 400,
 ) -> List[List[str]]:
     """shapes: {uttid: (T, ...)} → list of batches (lists of uttids).
 
-    mode seq: fixed #utts; bin: total T*D per batch <= batch_bins;
-    frame: total T per batch <= batch_bins.
+    mode seq: fixed #utts; bin: total T*D per batch <= batch_bins
+    (≙ espnet2 NumElementsBatchSampler); frame: total T per batch <=
+    batch_bins (≙ LengthBatchSampler); folded: per-batch size
+    batch_size // ceil(L_max/fold_length) (≙ FoldedBatchSampler,
+    folded_batch_sampler.py:13).
     """
     items = sorted(shapes.items(), key=lambda kv: -int(kv[1][0]))
     batches: List[List[str]] = []
     if mode == "seq":
         for i in range(0, len(items), batch_size):
             batches.append([k for k, _ in items[i: i + batch_size]])
+    elif mode == "folded":
+        i = 0
+        while i < len(items):
+            l_max = int(items[i][1][0])  # sorted desc → first is longest
+            bs = max(batch_size // max(-(-l_max // fold_length), 1),
+                     min_batch_size)
+            batches.append([k for k, _ in items[i: i + bs]])
+            i += bs
     else:
         cur: List[str] = []
         cur_cost = 0

