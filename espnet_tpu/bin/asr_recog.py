@@ -59,6 +59,11 @@ def main(argv=None):
     if isinstance(model, TransducerModel):
         return _transducer_recog(args, model, variables, token_list)
 
+    from espnet_tpu.models.asr.multispeaker import PITCTCASRModel
+
+    if isinstance(model, PITCTCASRModel):
+        return _pit_recog(args, model, variables, token_list)
+
     lm = lm_vars = None
     if args.lm_config and args.lm_ckpt:
         from espnet_tpu.tasks.lm import build_model_from_file as lm_bmff
@@ -125,8 +130,6 @@ def main(argv=None):
         return summary
 
 
-if __name__ == "__main__":
-    main()
 
 
 def _transducer_recog(args, model, variables, token_list):
@@ -204,3 +207,76 @@ def _transducer_recog(args, model, variables, token_list):
         (out / "summary.json").write_text(json.dumps(summary))
         logging.info("WER=%.2f%%", wer * 100)
         return summary
+
+
+def _pit_recog(args, model, variables, token_list):
+    """Multi-speaker PIT decode: greedy CTC per branch; scoring uses the
+    best speaker permutation (reference utils/eval_perm_free_error.py)."""
+    import itertools
+
+    import jax
+    import jax.numpy as jnp
+
+    from espnet_tpu.bin.asr_inference import ctc_greedy_decode_host
+    from espnet_tpu.data.dataset import ESPnetDataset, common_collate
+    from espnet_tpu.data.kaldi_io import read_scp
+    from espnet_tpu.utils.metrics import edit_distance
+
+    branches = jax.jit(
+        lambda s, l: model.apply(
+            variables, s, l, method="encode_branches"
+        )
+    )
+    data = [tuple(s.split(",")) for s in args.data]
+    ds = ESPnetDataset(data)
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    space = "<space>"
+    hyps = {}  # uid -> [spk1_text, spk2_text, ...]
+    for i in range(0, len(ds.keys), args.batch_size):
+        kb = ds.keys[i: i + args.batch_size]
+        batch = common_collate([ds[k] for k in kb])
+        logps, blens = branches(
+            jnp.asarray(batch["speech"]), jnp.asarray(batch["speech_lengths"])
+        )
+        per_spk = []
+        for lp in logps:
+            ids = ctc_greedy_decode_host(np.asarray(lp), np.asarray(blens))
+            per_spk.append(ids)
+        for b, k in enumerate(kb):
+            texts = []
+            for ids in (spk[b] for spk in per_spk):
+                toks = [token_list[t] for t in ids if 0 <= t < len(token_list)]
+                texts.append("".join(" " if t == space else t for t in toks))
+            hyps[k] = texts
+            logging.info("%s: %s", k, " | ".join(texts))
+    with open(out / "text", "w") as f:
+        for k, v in hyps.items():
+            for n, t in enumerate(v):
+                f.write(f"{k}_spk{n + 1} {t}\n")
+    if args.text:
+        # refs: <uid>_spk<N> convention
+        refs = read_scp(args.text)
+        tot_err = tot_words = 0
+        for k, v in hyps.items():
+            ref_texts = [
+                refs.get(f"{k}_spk{n + 1}", "") for n in range(len(v))
+            ]
+            best = None
+            for perm in itertools.permutations(range(len(v))):
+                err = sum(
+                    edit_distance(ref_texts[j].split(), v[p].split())
+                    for j, p in enumerate(perm)
+                )
+                best = err if best is None else min(best, err)
+            tot_err += best
+            tot_words += sum(len(r.split()) for r in ref_texts)
+        wer = tot_err / max(tot_words, 1)
+        summary = {"wer": wer, "num_utts": len(hyps), "perm_free": True}
+        (out / "summary.json").write_text(json.dumps(summary))
+        logging.info("perm-free WER=%.2f%%", wer * 100)
+        return summary
+
+
+if __name__ == "__main__":
+    main()

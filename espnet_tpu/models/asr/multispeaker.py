@@ -22,15 +22,36 @@ from espnet_tpu.models.asr.espnet_model import add_sos_eos
 
 
 class PITCTCASRModel(nn.Module):
-    """2-speaker mixture ASR with PIT CTC."""
+    """2-speaker mixture ASR with PIT CTC. Optional in-graph frontend
+    (raw mixture wav → fbank) like ASRModel."""
 
     vocab_size: int
     encoder_front: nn.Module           # shared encoder over the mixture
     encoder_branches: Sequence[nn.Module]  # one per speaker
     n_spk: int = 2
+    frontend: Optional[nn.Module] = None
+    normalize: Optional[nn.Module] = None
 
     def setup(self):
         self.ctc_lo = nn.Dense(self.vocab_size)
+
+    def encode_branches(
+        self, speech, speech_lengths, deterministic: bool = True
+    ):
+        """→ (per-branch CTC log-probs list, branch lengths)."""
+        if self.frontend is not None:
+            speech, speech_lengths = self.frontend(speech, speech_lengths)
+        if self.normalize is not None:
+            speech = self.normalize(speech, speech_lengths)
+        hs, hlens = self.encoder_front(
+            speech, speech_lengths, deterministic=deterministic
+        )
+        logps = []
+        blens = hlens
+        for branch in self.encoder_branches:
+            hb, blens = branch(hs, hlens, deterministic=deterministic)
+            logps.append(nn.log_softmax(self.ctc_lo(hb), axis=-1))
+        return logps, blens
 
     def __call__(
         self,
@@ -40,6 +61,10 @@ class PITCTCASRModel(nn.Module):
         text_lengths: jnp.ndarray,    # (B, n_spk)
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        if self.frontend is not None:
+            speech, speech_lengths = self.frontend(speech, speech_lengths)
+        if self.normalize is not None:
+            speech = self.normalize(speech, speech_lengths)
         hs, hlens = self.encoder_front(
             speech, speech_lengths, deterministic=deterministic
         )

@@ -136,6 +136,31 @@ def build_model(config: Dict[str, Any], vocab_size: int):
             vocab_size=vocab_size, encoder=enc,
             frontend=t_frontend, normalize=t_normalize, **model_conf
         )
+    if model_type == "pit":
+        from espnet_tpu.models.asr.multispeaker import PITCTCASRModel
+
+        n_spk = config.get("n_spk", 2)
+        bc = config.get("branch_conf", {"elayers": 1, "eunits": 64, "eprojs": 64})
+        branch_cls = ENCODERS[config.get("branch_encoder", "rnn")]
+        branches = [branch_cls(**bc) for _ in range(n_spk)]
+        p_frontend = None
+        if config.get("frontend") in ("default", "beamformer"):
+            p_frontend = _build_frontend(config)
+        p_normalize = None
+        if config.get("normalize") == "global_mvn":
+            fd = (
+                config.get("frontend_conf", {}).get("n_mels", 80)
+                if p_frontend is not None
+                else config.get("input_size", 80)
+            )
+            p_normalize = GlobalMVN(feat_dim=fd)
+        elif config.get("normalize") == "utterance_mvn":
+            p_normalize = UtteranceMVN()
+        return PITCTCASRModel(
+            vocab_size=vocab_size, encoder_front=enc,
+            encoder_branches=branches, n_spk=n_spk,
+            frontend=p_frontend, normalize=p_normalize,
+        )
     if model_type == "maskctc":
         from espnet_tpu.models.asr.maskctc import MaskCTCModel
 
@@ -303,6 +328,31 @@ def train(
     model = build_model(config, vocab)
     tx = build_tx(config)
     pre = build_preprocessor(config, token_list)
+    collate = common_collate
+    if config.get("model_type") == "pit":
+        n_spk = config.get("n_spk", 2)
+        tokenizer = build_tokenizer(
+            config.get("token_type", "char"), bpemodel=config.get("bpemodel"),
+            g2p_type=config.get("g2p"),
+        )
+        pre = CommonPreprocessor(
+            tokenizer, TokenIDConverter(token_list),
+            text_names=tuple(f"text_spk{i + 1}" for i in range(n_spk)),
+        )
+
+        def collate(samples):
+            out = common_collate(samples)
+            texts = [out.pop(f"text_spk{i + 1}") for i in range(n_spk)]
+            lens = [out.pop(f"text_spk{i + 1}_lengths") for i in range(n_spk)]
+            l_max = max(t.shape[1] for t in texts)
+            texts = [
+                np.pad(t, ((0, 0), (0, l_max - t.shape[1])), constant_values=-1)
+                for t in texts
+            ]
+            out["text"] = np.stack(texts, axis=1)          # (B, n_spk, L)
+            out["text_lengths"] = np.stack(lens, axis=1)   # (B, n_spk)
+            return out
+
     train_ds = ESPnetDataset(train_data, preprocessor=pre)
     valid_ds = ESPnetDataset(valid_data, preprocessor=pre)
 
@@ -324,6 +374,7 @@ def train(
         mode=config.get("batch_mode", "seq"),
         seed=config.get("seed", 0),
         sortagrad=config.get("sortagrad", False),
+        collate=collate,
     )
     valid_shapes = {}
     for uid in valid_ds.keys:
@@ -332,7 +383,7 @@ def train(
         valid_shapes[uid] = arr.shape if arr is not None else (1,)
     valid_iter = SequenceIterFactory(
         valid_ds, valid_shapes, batch_size=config.get("batch_size", 16),
-        shuffle=False,
+        shuffle=False, collate=collate,
     )
 
     # adadelta eps-decay on validation regression (reference
@@ -418,8 +469,13 @@ def build_model_from_file(config_file, ckpt_file):
     else:
         dummy = np.zeros((1, 40, d), dtype=np.float32)
         lens = np.array([40], dtype=np.int32)
-    ys = np.array([[1]], dtype=np.int32)
-    ylens = np.array([1], dtype=np.int32)
+    if config.get("model_type") == "pit":
+        n_spk = config.get("n_spk", 2)
+        ys = np.ones((1, n_spk, 1), dtype=np.int32)
+        ylens = np.ones((1, n_spk), dtype=np.int32)
+    else:
+        ys = np.array([[1]], dtype=np.int32)
+        ylens = np.array([1], dtype=np.int32)
     variables = model.init(jax.random.PRNGKey(0), dummy, lens, ys, ylens)
     stats_npz = Path(config_file).parent / "feats_stats.npz"
     if config.get("normalize") == "global_mvn" and stats_npz.exists():

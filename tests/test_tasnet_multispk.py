@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from espnet_tpu.models.asr import RNNEncoder, TransformerDecoder, TransformerEncoder
 
@@ -87,3 +88,66 @@ def test_multi_encoder_asr():
     loss, stats = model.apply(variables, [s1, s2], [l1, l2], text, tlens)
     assert np.isfinite(float(loss))
     assert "loss_ctc0" in stats and "loss_ctc1" in stats
+
+
+@pytest.mark.slow
+def test_pit_task_pipeline(tmp_path):
+    """model_type: pit through the ASR task: raw mixture wavs +
+    per-speaker texts → PIT CTC training → branch decode (reference
+    egs/mini_an4/asr_mix1 CI analog)."""
+    import os
+    import subprocess
+    import sys
+
+    from espnet_tpu.data.wav import write_wav
+
+    rng = np.random.RandomState(0)
+    d = tmp_path / "data"
+    (d / "wav").mkdir(parents=True)
+    words = ["AB", "BA", "ABB"]
+    scp, t1, t2 = [], [], []
+    for i in range(6):
+        w = rng.randn(3200).astype(np.float32) * 0.1
+        write_wav(d / "wav" / f"m{i}.wav", 8000, w)
+        scp.append(f"m{i} {d}/wav/m{i}.wav")
+        t1.append(f"m{i} {words[i % 3]}")
+        t2.append(f"m{i} {words[(i + 1) % 3]}")
+    (d / "wav.scp").write_text("\n".join(scp))
+    (d / "text_spk1").write_text("\n".join(t1))
+    (d / "text_spk2").write_text("\n".join(t2))
+    (d / "tokens.txt").write_text("\n".join(
+        ["<blank>", "<unk>", "A", "B", "<space>", "<sos/eos>"]))
+
+    env = {**os.environ, "PYTHONPATH": "/root/repo", "JAX_PLATFORMS": "cpu"}
+    r = subprocess.run(
+        [sys.executable, "-m", "espnet_tpu.bin.asr_train",
+         "--train_data", f"{d}/wav.scp,speech,sound",
+         "--train_data", f"{d}/text_spk1,text_spk1,text",
+         "--train_data", f"{d}/text_spk2,text_spk2,text",
+         "--valid_data", f"{d}/wav.scp,speech,sound",
+         "--valid_data", f"{d}/text_spk1,text_spk1,text",
+         "--valid_data", f"{d}/text_spk2,text_spk2,text",
+         "--token_list", str(d / "tokens.txt"),
+         "--expdir", str(tmp_path / "exp"),
+         "--model_type", "pit", "--n_spk", "2",
+         "--frontend", "default",
+         "--frontend_conf", '{"fs": 8000, "n_fft": 256, "hop_length": 128, "n_mels": 20}',
+         "--normalize", "utterance_mvn",
+         "--encoder", "rnn",
+         "--encoder_conf", '{"elayers": 1, "eunits": 16, "eprojs": 16}',
+         "--branch_conf", '{"elayers": 1, "eunits": 16, "eprojs": 16}',
+         "--max_epoch", "2", "--batch_size", "3"],
+        env=env, capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    r2 = subprocess.run(
+        [sys.executable, "-m", "espnet_tpu.bin.asr_recog",
+         "--data", f"{d}/wav.scp,speech,sound",
+         "--config", str(tmp_path / "exp" / "config.yaml"),
+         "--ckpt", str(tmp_path / "exp" / "latest.ckpt"),
+         "--output_dir", str(tmp_path / "exp" / "decode"), "--batch_size", "3"],
+        env=env, capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    text = (tmp_path / "exp" / "decode" / "text").read_text()
+    assert "_spk1 " in text and "_spk2 " in text
