@@ -8,6 +8,7 @@ encoding feeds every layer.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from espnet_tpu.layers.attention import RelPositionMultiHeadedAttention
@@ -86,6 +87,13 @@ class ConformerEncoder(nn.Module):
     # compute for O(num_blocks) less activation memory — lifts the max
     # trainable batch size
     remat: bool = False
+    # sequence parallelism: shard block activations (B, T, D) as
+    # P(batch_axis, seq_axis, None) between blocks — the norm/FF/conv
+    # regions then compute on T/seq_axis-sized shards and XLA inserts the
+    # gathers attention needs. Requires running under jax.set_mesh with
+    # axes of these names (see __graft_entry__.dryrun_multichip).
+    seq_axis: "str | None" = None
+    batch_axis: str = "data"
     dtype: type = jnp.float32
 
     @nn.compact
@@ -109,6 +117,16 @@ class ConformerEncoder(nn.Module):
         layer_cls = ConformerEncoderLayer
         if self.remat:
             layer_cls = nn.remat(ConformerEncoderLayer, static_argnums=(5,))
+        def seq_shard(x):
+            if self.seq_axis is None:
+                return x
+            from jax.sharding import PartitionSpec as P
+
+            return jax.lax.with_sharding_constraint(
+                x, P(self.batch_axis, self.seq_axis, None)
+            )
+
+        xs = seq_shard(xs)
         for _ in range(self.num_blocks):
             xs = layer_cls(
                 self.attention_dim,
@@ -121,4 +139,5 @@ class ConformerEncoder(nn.Module):
                 self.use_cnn,
                 dtype=self.dtype,
             )(xs, pos_emb, attn_mask, pad_mask, deterministic)
+            xs = seq_shard(xs)
         return xs.astype(jnp.float32), olens
