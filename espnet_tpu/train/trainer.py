@@ -199,7 +199,8 @@ class Trainer:
         for i, batch in enumerate(iterator):
             bsz = next(iter(batch.values())).shape[0]
             batch = self._put_batch(batch)
-            state, stats = self.train_step(state, batch)
+            with jax.set_mesh(self.mesh):  # bare-PartitionSpec constraints
+                state, stats = self.train_step(state, batch)
             n_steps += 1
             n_skipped += int(float(stats.get("skipped", 0.0)) > 0.5)
             sub.register(
@@ -230,7 +231,8 @@ class Trainer:
         for i, batch in enumerate(iterator):
             bsz = next(iter(batch.values())).shape[0]
             batch = self._put_batch(batch)
-            stats = self.eval_step(state, batch, jax.random.fold_in(eval_rng, i))
+            with jax.set_mesh(self.mesh):
+                stats = self.eval_step(state, batch, jax.random.fold_in(eval_rng, i))
             sub.register({k: float(v) for k, v in stats.items()}, weight=float(bsz))
         self.reporter.finish_epoch(sub)
         if self.tb is not None:
