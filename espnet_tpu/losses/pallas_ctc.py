@@ -29,7 +29,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e10
 LANE = 128
-CHUNK = 8  # utterances per program = VPU sublane count
+CHUNK = 8  # minimum utterances per program = VPU sublane count
+VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _pick_chunk(t: int, s_pad: int) -> int:
+    """Grid programs run SEQUENTIALLY on the TensorCore, so bigger chunks
+    = fewer serial T-loops and fuller (CHUNK, S) tiles — bounded by VMEM
+    (2 resident (CHUNK, T, S) f32 blocks: emit + alpha/beta)."""
+    chunk = CHUNK
+    while chunk < 32 and 2 * chunk * t * s_pad * 4 * 2 <= VMEM_BUDGET:
+        chunk *= 2
+    return chunk
 
 
 def _round_up(x: int, m: int) -> int:
@@ -140,20 +151,21 @@ def _pad_b(x, b_pad, fill):
 
 def _run_alpha(emit, allow_skip, input_lengths, interpret=False):
     b, t, s_pad = emit.shape
-    b_pad = _round_up(b, CHUNK)
+    chunk = _pick_chunk(t, s_pad)
+    b_pad = _round_up(b, chunk)
     emit_p = _pad_b(emit, b_pad, NEG_INF)
     skip_p = _pad_b(allow_skip, b_pad, 0.0)
     ilen_p = _pad_b(input_lengths.astype(jnp.int32), b_pad, 0)
 
     alpha = pl.pallas_call(
         _alpha_kernel,
-        grid=(b_pad // CHUNK,),
+        grid=(b_pad // chunk,),
         in_specs=[
-            pl.BlockSpec((CHUNK, t, s_pad), lambda i: (i, 0, 0)),
-            pl.BlockSpec((CHUNK, s_pad), lambda i: (i, 0)),
+            pl.BlockSpec((chunk, t, s_pad), lambda i: (i, 0, 0)),
+            pl.BlockSpec((chunk, s_pad), lambda i: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((CHUNK, t, s_pad), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((chunk, t, s_pad), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b_pad, t, s_pad), jnp.float32),
         interpret=interpret,
     )(emit_p, skip_p, ilen_p)
@@ -162,7 +174,8 @@ def _run_alpha(emit, allow_skip, input_lengths, interpret=False):
 
 def _run_beta(emit, allow_skip, input_lengths, label_lengths, interpret=False):
     b, t, s_pad = emit.shape
-    b_pad = _round_up(b, CHUNK)
+    chunk = _pick_chunk(t, s_pad)
+    b_pad = _round_up(b, chunk)
     emit_p = _pad_b(emit, b_pad, NEG_INF)
     skip_p = _pad_b(allow_skip, b_pad, 0.0)
     ilen_p = _pad_b(input_lengths.astype(jnp.int32), b_pad, 0)
@@ -170,14 +183,14 @@ def _run_beta(emit, allow_skip, input_lengths, label_lengths, interpret=False):
 
     beta = pl.pallas_call(
         _beta_kernel,
-        grid=(b_pad // CHUNK,),
+        grid=(b_pad // chunk,),
         in_specs=[
-            pl.BlockSpec((CHUNK, t, s_pad), lambda i: (i, 0, 0)),
-            pl.BlockSpec((CHUNK, s_pad), lambda i: (i, 0)),
+            pl.BlockSpec((chunk, t, s_pad), lambda i: (i, 0, 0)),
+            pl.BlockSpec((chunk, s_pad), lambda i: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((CHUNK, t, s_pad), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((chunk, t, s_pad), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b_pad, t, s_pad), jnp.float32),
         interpret=interpret,
     )(emit_p, skip_p, ilen_p, llen_p)

@@ -64,6 +64,7 @@ def _exhaustive_best(score_fn, maxlen=3):
     return best, best_score
 
 
+@pytest.mark.slow
 def test_beam_matches_exhaustive_attention_only():
     model, dec, dec_vars, hs, hlens, _ = _setup(seed=0)
     att_fn = _att_logp_fn(dec, dec_vars, hs, hlens)

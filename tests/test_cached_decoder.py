@@ -1,5 +1,6 @@
 """KV-cached decoder must give identical scores to the stateless
 full-prefix path, and identical beam-search output."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,6 +31,7 @@ def _setup(seed=0):
     return dec, dec_vars, hs, hlens
 
 
+@pytest.mark.slow
 def test_cached_step_matches_prefix_scoring():
     dec, dec_vars, hs, hlens = _setup()
     n, lmax = 2, 6

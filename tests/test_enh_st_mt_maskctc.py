@@ -1,6 +1,7 @@
 """Tests for enhancement (PIT SI-SNR separation), ST/MT models, and
 Mask-CTC (tiny-model forward/backward + decode smoke, reference
 test_e2e_st*.py / test_e2e_mt*.py / test_e2e_asr_maskctc.py pattern)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,6 +29,7 @@ def test_pit_loss_picks_best_permutation():
     np.testing.assert_allclose(np.asarray(loss), np.asarray(loss_direct), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_enhancement_model_forward_backward():
     rng = np.random.RandomState(2)
     b, n = 2, 1024
@@ -103,6 +105,7 @@ def test_mt_model():
     assert "acc" in stats
 
 
+@pytest.mark.slow
 def test_maskctc_train_and_decode():
     from espnet_tpu.models.asr.maskctc import MaskCTCModel, maskctc_recognize
 

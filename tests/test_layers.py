@@ -1,5 +1,6 @@
 """Layer unit tests (tiny dims, CPU) mirroring the reference's tiny-model
 test pattern (test/test_e2e_asr.py)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -69,6 +70,7 @@ def test_sinusoidal_table():
     np.testing.assert_allclose(pe[0], [0, 1, 0, 1, 0, 1], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_lightconv_and_dynamicconv():
     from espnet_tpu.layers.lightconv import DynamicConvolution, LightweightConvolution
 

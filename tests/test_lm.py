@@ -37,6 +37,7 @@ def test_transformer_lm_score_prefix():
     np.testing.assert_allclose(np.asarray(sp[1]), np.asarray(logp_all[1, 3]), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_lm_train_cli_and_perplexity(tmp_path):
     # corpus with strong bigram structure
     rng = np.random.RandomState(0)

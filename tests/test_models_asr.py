@@ -58,6 +58,7 @@ def test_encoders(enc):
     assert int(hlens[0]) <= hs.shape[1]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dec_type", ["transformer", "rnn"])
 @pytest.mark.parametrize("ctc_weight", [0.0, 0.5, 1.0])
 def test_asr_model_loss_and_grad(dec_type, ctc_weight):
@@ -147,6 +148,7 @@ def test_rnn_decoder_attention_variants(att_type):
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g))
 
 
+@pytest.mark.slow
 def test_conformer_remat_forward_backward():
     xs, ilens, _, _ = _batch(seed=11)
     enc_r = ConformerEncoder(

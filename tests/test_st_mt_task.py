@@ -1,4 +1,5 @@
 """ST/MT task training smoke + BLEU metric."""
+import pytest
 import numpy as np
 
 from espnet_tpu.utils.metrics import bleu
@@ -11,6 +12,7 @@ def test_bleu_metric():
     assert bleu([["a"]], [[]]) == 0.0
 
 
+@pytest.mark.slow
 def test_mt_task_train(tmp_path):
     from espnet_tpu.data.kaldi_io import write_scp
     from espnet_tpu.tasks import st_mt

@@ -45,6 +45,7 @@ def test_segment_streaming_closes_segments():
     assert all(isinstance(o, list) for o in outs)
 
 
+@pytest.mark.slow
 def test_vc_tacotron2_forward_backward():
     from espnet_tpu.models.tts.vc_tacotron2 import VCTacotron2
 

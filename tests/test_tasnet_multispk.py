@@ -9,6 +9,7 @@ from espnet_tpu.models.asr import RNNEncoder, TransformerDecoder, TransformerEnc
 V = 8
 
 
+@pytest.mark.slow
 def test_conv_tasnet_forward_backward():
     from espnet_tpu.models.enh import EnhancementModel
     from espnet_tpu.models.enh.tasnet import ConvTasNet
@@ -35,6 +36,7 @@ def test_conv_tasnet_forward_backward():
     assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree_util.tree_leaves(grads))
 
 
+@pytest.mark.slow
 def test_pit_ctc_asr():
     from espnet_tpu.models.asr.multispeaker import PITCTCASRModel
 

@@ -42,6 +42,7 @@ def synth_batches(n_batches=4, seed=0, t=32, l=6):
     return batches
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("arch", ["rnn", "transformer"])
 def test_train_loop_loss_decreases(tmp_path, arch):
     if arch == "rnn":

@@ -161,6 +161,7 @@ def test_transducer_tsd_alsd(trained_transducer):
     assert alsd[0][0] == list(ys[0])
 
 
+@pytest.mark.slow
 def test_chunked_lattice_matches_full():
     rng = np.random.RandomState(9)
     b, t, d, v, u = 2, 13, 8, 6, 3

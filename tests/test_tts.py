@@ -23,6 +23,7 @@ def _batch(seed=0):
     return text, tlens, speech, slens
 
 
+@pytest.mark.slow
 def test_tacotron2_forward_backward():
     text, tlens, speech, slens = _batch()
     model = Tacotron2(
@@ -74,6 +75,7 @@ def test_tacotron2_inference_shapes():
     assert att.shape[0] == B and att.shape[2] == L
 
 
+@pytest.mark.slow
 def test_transformer_tts_forward():
     text, tlens, speech, slens = _batch(1)
     model = TransformerTTS(
@@ -115,6 +117,7 @@ def test_durations_from_attention():
     np.testing.assert_array_equal(np.asarray(d[0]), [2, 2, 1])
 
 
+@pytest.mark.slow
 def test_fastspeech2_forward_and_inference():
     text, tlens, speech, slens = _batch(2)
     rng = np.random.RandomState(3)
@@ -200,6 +203,7 @@ def test_pitch_energy_extraction():
     np.testing.assert_allclose(avg, [200, 200], rtol=0.1)
 
 
+@pytest.mark.slow
 def test_teacher_alignment_durations(tmp_path):
     """TTSTaskModel.teacher_alignment produces durations summing to the
     frame count — the tacotron2→fastspeech2 duration pipeline."""
@@ -236,6 +240,7 @@ def test_teacher_alignment_durations(tmp_path):
         assert dur[b, int(tlens[b]):].sum() >= 0
 
 
+@pytest.mark.slow
 def test_wavenet_train_and_generate():
     from espnet_tpu.models.tts.wavenet import WaveNet, mulaw_decode, mulaw_encode
 
@@ -311,6 +316,7 @@ def test_tacotron2_speaker_embedding():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_tacotron2_cbhg_linear_output():
     text, tlens, speech, slens = _batch(6)
     spc = jnp.asarray(np.random.RandomState(7).randn(B, TDEC, 17).astype(np.float32))
