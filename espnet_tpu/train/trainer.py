@@ -136,9 +136,15 @@ class Trainer:
         train_iter_factory: Callable[[int], Iterable],
         valid_iter_factory: Callable[[int], Iterable],
     ) -> TrainState:
+        from espnet_tpu.data.prefetch import prefetch
+
         for epoch in range(self.start_epoch, self.max_epoch + 1):
-            state = self.train_one_epoch(state, train_iter_factory(epoch), epoch)
-            self.validate_one_epoch(state, valid_iter_factory(epoch), epoch)
+            state = self.train_one_epoch(
+                state, prefetch(train_iter_factory(epoch)), epoch
+            )
+            self.validate_one_epoch(
+                state, prefetch(valid_iter_factory(epoch)), epoch
+            )
 
             # checkpoint + best bookkeeping (rank-0 semantics: single ctrl)
             if jax.process_index() == 0:

@@ -214,3 +214,22 @@ def test_folded_batch_mode():
     # long utts (1200/400 = 3 folds) → bs 8//3 = 2; short → bs 8
     assert max(long_sizes) <= 3
     assert max(short_sizes) == 8
+
+
+def test_prefetch_iterator():
+    from espnet_tpu.data.prefetch import prefetch
+
+    assert list(prefetch(range(7))) == list(range(7))
+    assert list(prefetch(iter([]))) == []
+
+    def boom():
+        yield 1
+        raise ValueError("boom")
+
+    it = prefetch(boom())
+    assert next(it) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="boom"):
+        for _ in it:
+            pass
