@@ -1,6 +1,7 @@
 """CLI: enhancement/separation scoring (reference: espnet2/bin/
-enh_scoring.py): SI-SNR and SDR between reference and estimated wav
-scps, with PIT over speaker orderings.
+enh_scoring.py): SI-SNR, SDR and STOI between reference and estimated
+wav scps, with PIT over speaker orderings (SI-SNR picks the
+permutation; the other metrics follow it, as in the reference).
 """
 from __future__ import annotations
 
@@ -36,6 +37,11 @@ def main(argv=None):
     parser.add_argument("--ref_scp", nargs="+", required=True)
     parser.add_argument("--est_scp", nargs="+", required=True)
     parser.add_argument("--output_dir", required=True)
+    parser.add_argument(
+        "--stoi",
+        action="store_true",
+        help="also compute STOI intelligibility (needs sample rate from wavs)",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -48,9 +54,12 @@ def main(argv=None):
     assert len(ests) == n_spk
 
     totals = {"si_snr": 0.0, "sdr": 0.0}
+    if args.stoi:
+        totals["stoi"] = 0.0
     n = 0
     per_utt = {}
     for uid in refs[0]:
+        rates = [read_wav(t[uid])[0] for t in refs]
         r = [read_wav(t[uid])[1] for t in refs]
         e = [read_wav(t[uid])[1] for t in ests]
         ln = min(min(len(x) for x in r), min(len(x) for x in e))
@@ -64,6 +73,16 @@ def main(argv=None):
         score, perm = best
         sdr_v = float(np.mean([sdr(e[i], r[p]) for i, p in enumerate(perm)]))
         per_utt[uid] = {"si_snr": score, "sdr": sdr_v}
+        if args.stoi:
+            from espnet_tpu.utils.stoi import stoi as stoi_fn
+
+            stoi_v = float(
+                np.mean(
+                    [stoi_fn(r[p], e[i], rates[0]) for i, p in enumerate(perm)]
+                )
+            )
+            per_utt[uid]["stoi"] = stoi_v
+            totals["stoi"] += stoi_v
         totals["si_snr"] += score
         totals["sdr"] += sdr_v
         n += 1
