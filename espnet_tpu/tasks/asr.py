@@ -442,6 +442,13 @@ def train(
             Path(stats_dir) / "feats_stats.npz", Path(expdir) / "feats_stats.npz"
         )
 
+    # `init:` scheme re-init and/or `init_param:` transfer grafting
+    # (reference asr_init.py --enc-init/--dec-init, espnet2 --init_param)
+    from espnet_tpu.train.init_params import apply_param_init, model_summary
+
+    variables = apply_param_init(variables, config)
+    logging.info(model_summary(variables["params"]))
+
     save_yaml(Path(expdir) / "config.yaml", {**config, "token_list": token_list})
     state = trainer.init_state(variables, seed=config.get("seed", 0))
     state = trainer.resume(state)

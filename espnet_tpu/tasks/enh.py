@@ -103,6 +103,9 @@ def train(
         jax.random.PRNGKey(config.get("seed", 0)),
         first["speech_mix"], first["speech_mix_lengths"], first["speech_ref"],
     )
+    from espnet_tpu.train.init_params import apply_param_init
+
+    variables = apply_param_init(variables, config)
     save_yaml(Path(expdir) / "config.yaml", config)
     state = trainer.init_state(variables, seed=config.get("seed", 0))
     state = trainer.resume(state)

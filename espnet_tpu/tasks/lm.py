@@ -104,6 +104,9 @@ def train(
         jax.random.PRNGKey(config.get("seed", 0)),
         first["text"], first["text_lengths"],
     )
+    from espnet_tpu.train.init_params import apply_param_init
+
+    variables = apply_param_init(variables, config)
     save_yaml(Path(expdir) / "config.yaml", {**config, "token_list": token_list})
     state = trainer.init_state(variables, seed=config.get("seed", 0))
     state = trainer.resume(state)

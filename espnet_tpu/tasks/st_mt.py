@@ -128,6 +128,9 @@ def train(
     )
     first = next(iter(train_iter(1)))
     variables = model.init(jax.random.PRNGKey(config.get("seed", 0)), **first)
+    from espnet_tpu.train.init_params import apply_param_init
+
+    variables = apply_param_init(variables, config)
     save_yaml(
         Path(expdir) / "config.yaml",
         {**config, "token_list": token_list, "src_token_list": src_token_list,

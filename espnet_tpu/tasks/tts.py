@@ -250,6 +250,9 @@ def train(
          "dropout": jax.random.PRNGKey(1)},
         **first,
     )
+    from espnet_tpu.train.init_params import apply_param_init
+
+    variables = apply_param_init(variables, config)
     if stats_dir and (Path(stats_dir) / "feats_stats.npz").exists():
         import shutil
 

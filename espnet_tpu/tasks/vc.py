@@ -153,6 +153,9 @@ def train(
         first["src_speech"], first["src_speech_lengths"],
         first["speech"], first["speech_lengths"],
     )
+    from espnet_tpu.train.init_params import apply_param_init
+
+    variables = apply_param_init(variables, config)
     # target-mel normalization stats from the training targets
     exp = Path(expdir)
     exp.mkdir(parents=True, exist_ok=True)
