@@ -126,6 +126,11 @@ class RNNDecoder(nn.Module):
     aconv_filts: int = 100
     dropout_rate: float = 0.0
     att_type: str = "location"
+    # scheduled sampling (reference decoders.py:142-170): with this
+    # probability feed the model's own previous argmax instead of the
+    # teacher token during training. Drawn per (batch, step) from the
+    # "sampling" rng stream; inference/beam paths are unaffected.
+    sampling_probability: float = 0.0
 
     def setup(self):
         self.step = RNNDecoderStep(
@@ -152,14 +157,46 @@ class RNNDecoder(nn.Module):
         mask = make_non_pad_mask(hlens, t)
         enc_proj = self.step.att.pre_compute(enc_h)
         carry = self.step.init_state(b, t, hlens, enc_h.dtype)
+        use_ss = self.sampling_probability > 0.0 and not deterministic
 
-        def body(mdl, carry, token):
-            return mdl(carry, token, enc_h, enc_proj, mask, deterministic)
+        if not use_ss:
+            def body(mdl, carry, token):
+                return mdl(carry, token, enc_h, enc_proj, mask, deterministic)
+
+            scan = nn.scan(
+                body,
+                variable_broadcast="params",
+                split_rngs={"params": False, "dropout": True},
+                in_axes=1,
+                out_axes=1,
+            )
+            _, (logits, att_ws) = scan(self.step, carry, ys_in)
+            return logits
+
+        # scheduled sampling: thread the previous step's argmax through
+        # the carry; step 0's "previous prediction" is initialised to the
+        # teacher sos so the draw is a no-op there (reference always
+        # teacher-forces the first step)
+        carry = (carry, ys_in[:, 0])
+
+        def body_ss(mdl, carry, token):
+            inner, prev_pred = carry
+            coin = jax.random.bernoulli(
+                mdl.make_rng("sampling"), self.sampling_probability, (token.shape[0],)
+            )
+            token_used = jnp.where(coin, prev_pred, token)
+            new_inner, (logits, att_w) = mdl(
+                inner, token_used, enc_h, enc_proj, mask, deterministic
+            )
+            return (new_inner, jnp.argmax(logits, axis=-1).astype(token.dtype)), (
+                logits,
+                att_w,
+            )
 
         scan = nn.scan(
-            body,
+            body_ss,
             variable_broadcast="params",
-            split_rngs={"params": False, "dropout": True},
+            split_rngs={"params": False, "dropout": True, "sampling": True},
             in_axes=1,
             out_axes=1,
         )
