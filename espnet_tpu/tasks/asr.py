@@ -41,6 +41,7 @@ from espnet_tpu.train.optimizers import build_optimizer
 from espnet_tpu.train.schedulers import noam_schedule, warmup_lr_schedule
 from espnet_tpu.train.trainer import Trainer
 from espnet_tpu.utils.config import load_yaml, save_yaml
+from espnet_tpu.utils.dynamic_import import resolve_class
 
 logger = logging.getLogger(__name__)
 
@@ -114,7 +115,7 @@ def build_model(config: Dict[str, Any], vocab_size: int):
             input_proj=ec.get("input_proj"),
         )
     else:
-        enc_cls = ENCODERS[config["encoder"]]
+        enc_cls = resolve_class(config["encoder"], ENCODERS)
         enc = enc_cls(**config.get("encoder_conf", {}))
     model_conf = dict(config.get("model_conf", {}))
     model_type = config.get("model_type", "asr")
@@ -141,7 +142,7 @@ def build_model(config: Dict[str, Any], vocab_size: int):
 
         n_spk = config.get("n_spk", 2)
         bc = config.get("branch_conf", {"elayers": 1, "eunits": 64, "eprojs": 64})
-        branch_cls = ENCODERS[config.get("branch_encoder", "rnn")]
+        branch_cls = resolve_class(config.get("branch_encoder", "rnn"), ENCODERS)
         branches = [branch_cls(**bc) for _ in range(n_spk)]
         p_frontend = None
         if config.get("frontend") in ("default", "beamformer"):
@@ -164,14 +165,14 @@ def build_model(config: Dict[str, Any], vocab_size: int):
     if model_type == "maskctc":
         from espnet_tpu.models.asr.maskctc import MaskCTCModel
 
-        dec_cls = DECODERS[config.get("decoder", "transformer")]
+        dec_cls = resolve_class(config.get("decoder", "transformer"), DECODERS)
         dec = dec_cls(vocab_size, causal=False, **config.get("decoder_conf", {}))
         return MaskCTCModel(
             vocab_size=vocab_size, encoder=enc, decoder=dec, **model_conf
         )
     dec = None
     if model_conf.get("ctc_weight", 0.5) < 1.0 and config.get("decoder"):
-        dec_cls = DECODERS[config["decoder"]]
+        dec_cls = resolve_class(config["decoder"], DECODERS)
         dec = dec_cls(vocab_size, **config.get("decoder_conf", {}))
     frontend = None
     if config.get("frontend") in ("default", "beamformer"):

@@ -17,6 +17,7 @@ from espnet_tpu.parallel.distributed import init_distributed_and_mesh
 from espnet_tpu.data.dataset import ChunkIterFactory, ESPnetDataset
 from espnet_tpu.models.enh import EnhancementModel, TFMaskingNet
 from espnet_tpu.models.enh.tasnet import ConvTasNet
+from espnet_tpu.utils.dynamic_import import resolve_class
 from espnet_tpu.utils.config import save_yaml
 
 SEPARATORS = {"tf_masking": TFMaskingNet, "tasnet": ConvTasNet}
@@ -39,7 +40,7 @@ DEFAULT_CONFIG: Dict[str, Any] = {
 
 def build_enh_model(config: Dict[str, Any]) -> EnhancementModel:
     n_spk = config.get("n_spk", 2)
-    sep_cls = SEPARATORS[config.get("separator", "tf_masking")]
+    sep_cls = resolve_class(config.get("separator", "tf_masking"), SEPARATORS)
     sep = sep_cls(n_spk=n_spk, **config.get("separator_conf", {}))
     return EnhancementModel(separator=sep, n_spk=n_spk)
 

@@ -17,6 +17,7 @@ import numpy as np
 from espnet_tpu.parallel.distributed import init_distributed_and_mesh
 from espnet_tpu.models.lm import SequentialRNNLM, TransformerLM, lm_nll
 from espnet_tpu.models.asr.espnet_model import add_sos_eos
+from espnet_tpu.utils.dynamic_import import resolve_class
 from espnet_tpu.utils.config import load_yaml, save_yaml
 
 LMS = {"seq_rnn": SequentialRNNLM, "transformer": TransformerLM}
@@ -59,7 +60,7 @@ class LMTaskModel(nn.Module):
 
 
 def build_lm(config: Dict[str, Any], vocab: int):
-    lm_cls = LMS[config.get("lm", "transformer")]
+    lm_cls = resolve_class(config.get("lm", "transformer"), LMS)
     lm = lm_cls(vocab, **config.get("lm_conf", {}))
     return LMTaskModel(lm=lm, vocab_size=vocab)
 

@@ -19,6 +19,7 @@ import numpy as np
 from espnet_tpu.parallel.distributed import init_distributed_and_mesh
 from espnet_tpu.models.tts import FastSpeech2, Tacotron2, TransformerTTS
 from espnet_tpu.ops.stft import log_mel_spectrogram
+from espnet_tpu.utils.dynamic_import import resolve_class
 from espnet_tpu.utils.config import load_yaml, save_yaml
 
 TTS_MODELS = {
@@ -129,7 +130,7 @@ class TTSTaskModel(nn.Module):
 
 
 def build_tts_model(config: Dict[str, Any], vocab: int) -> TTSTaskModel:
-    cls = TTS_MODELS[config.get("tts", "tacotron2")]
+    cls = resolve_class(config.get("tts", "tacotron2"), TTS_MODELS)
     n_mels = config.get("feats_extract_conf", {}).get("n_mels", 80)
     tts = cls(vocab_size=vocab, n_mels=n_mels, **config.get("tts_conf", {}))
     feats_conf = tuple(sorted(config.get("feats_extract_conf", {}).items()))
