@@ -23,6 +23,35 @@ def bucket_length(n: int, min_bucket: int = 32, growth: float = 1.25) -> int:
     return int(math.ceil(b / 8) * 8)
 
 
+def filter_by_length(
+    shapes: Dict[str, Sequence[int]],
+    min_frames: int = 0,
+    max_frames: Optional[int] = None,
+    out_shapes: Optional[Dict[str, Sequence[int]]] = None,
+    min_tokens: int = 0,
+    max_tokens: Optional[int] = None,
+) -> Tuple[Dict[str, Sequence[int]], int]:
+    """Drop too-short/too-long utterances before batching.
+
+    ≙ reference utils/remove_longshortdata.sh and the espnet2 filtering
+    stage (egs2/TEMPLATE/asr1/asr.sh:490 --min_wav_duration/--max_wav_duration):
+    degenerate lengths waste padded-bucket compute and can OOM a chip, so
+    they are filtered host-side. `out_shapes` (target lengths, e.g. token
+    counts) applies the min/max_tokens bounds. Returns (kept, n_dropped).
+    """
+    kept: Dict[str, Sequence[int]] = {}
+    for k, shp in shapes.items():
+        t = int(shp[0])
+        if t < min_frames or (max_frames is not None and t > max_frames):
+            continue
+        if out_shapes is not None and k in out_shapes:
+            l = int(out_shapes[k][0])
+            if l < min_tokens or (max_tokens is not None and l > max_tokens):
+                continue
+        kept[k] = shp
+    return kept, len(shapes) - len(kept)
+
+
 def make_batches(
     shapes: Dict[str, Sequence[int]],
     batch_size: int = 32,

@@ -21,6 +21,7 @@ from espnet_tpu.data.dataset import (
     SequenceIterFactory,
     common_collate,
 )
+from espnet_tpu.data.batching import filter_by_length
 from espnet_tpu.data.kaldi_io import read_scp
 from espnet_tpu.models.asr import (
     ASRModel,
@@ -97,6 +98,11 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "batch_bins": None,
     "batch_mode": "seq",
     "sortagrad": False,
+    # length filtering (≙ remove_longshortdata.sh); None = no bound
+    "min_frames": None,
+    "max_frames": None,
+    "min_tokens": None,
+    "max_tokens": None,
     "seed": 0,
     "token_type": "char",
     "bpemodel": None,
@@ -366,6 +372,36 @@ def train(
             s = train_ds[uid]
             arr = s.get("speech")
             shapes[uid] = arr.shape if arr is not None else (1,)
+
+    # length filtering (≙ remove_longshortdata.sh / espnet2 filtering stage)
+    if any(
+        config.get(k) for k in
+        ("min_frames", "max_frames", "min_tokens", "max_tokens")
+    ):
+        out_shapes = None
+        if config.get("min_tokens") or config.get("max_tokens"):
+            if stats_dir and (Path(stats_dir) / "text_shape").exists():
+                out_shapes = read_shape_file(Path(stats_dir) / "text_shape")
+            else:
+                out_shapes = {
+                    uid: (len(train_ds[uid].get("text", ())),)
+                    for uid in train_ds.keys if uid in shapes
+                }
+        shapes, n_drop = filter_by_length(
+            shapes,
+            min_frames=int(config.get("min_frames") or 0),
+            max_frames=config.get("max_frames"),
+            out_shapes=out_shapes,
+            min_tokens=int(config.get("min_tokens") or 0),
+            max_tokens=config.get("max_tokens"),
+        )
+        if n_drop:
+            logger.info("length filter dropped %d utterances", n_drop)
+        if not shapes:
+            raise ValueError(
+                "length filter (min/max_frames, min/max_tokens) removed "
+                "every training utterance — loosen the bounds"
+            )
 
     train_iter = SequenceIterFactory(
         train_ds,

@@ -233,3 +233,21 @@ def test_prefetch_iterator():
     with _pytest.raises(ValueError, match="boom"):
         for _ in it:
             pass
+
+
+def test_filter_by_length():
+    """remove_longshortdata.sh / espnet2 filtering-stage parity."""
+    from espnet_tpu.data.batching import filter_by_length
+
+    shapes = {f"u{i}": (t,) for i, t in enumerate([5, 50, 500, 5000])}
+    kept, n = filter_by_length(shapes, min_frames=10, max_frames=1000)
+    assert set(kept) == {"u1", "u2"} and n == 2
+    # token bounds on the output side
+    out = {"u1": (2,), "u2": (40,)}
+    kept2, n2 = filter_by_length(
+        kept, out_shapes=out, min_tokens=5, max_tokens=100
+    )
+    assert set(kept2) == {"u2"} and n2 == 1
+    # no bounds → identity
+    kept3, n3 = filter_by_length(shapes)
+    assert kept3 == shapes and n3 == 0
