@@ -242,10 +242,16 @@ def _ctc_bwd(blank, interpret, residuals, g):
     d_emit = jnp.where(frame_valid & (emit > NEG_INF / 2), d_emit, 0.0)
     d_emit = d_emit[:, :, :s]
 
-    d_lp = jnp.zeros((b, t, v))
-    bidx = jnp.arange(b)[:, None, None]
-    tidx = jnp.arange(t)[None, :, None]
-    d_lp = d_lp.at[bidx, tidx, ext[:, None, :]].add(d_emit)
+    # Scatter (B,T,S) state grads back to (B,T,V) as a one-hot matmul on
+    # the MXU: XLA's scatter-add serializes on the duplicate blank
+    # indices (every even s is blank), costing ~ms; the equivalent
+    # einsum over a (B,S,V) one-hot is exact (products are 0/1) and
+    # runs at matmul speed. HIGHEST precision keeps the f32 accumulate
+    # bit-comparable to the scatter path.
+    onehot = jax.nn.one_hot(ext, v, dtype=d_emit.dtype)  # (B, S, V)
+    d_lp = jnp.einsum(
+        "bts,bsv->btv", d_emit, onehot, precision=jax.lax.Precision.HIGHEST
+    )
     d_lp = d_lp * g[:, None, None]
     return (d_lp, None, None, None)
 

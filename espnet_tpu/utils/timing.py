@@ -27,7 +27,17 @@ def force(tree) -> float:
     leaves = [x for x in jax.tree_util.tree_leaves(tree) if hasattr(x, "dtype")]
     if not leaves:
         return 0.0
-    return float(np.ravel(np.asarray(leaves[0]))[0])
+    x = leaves[0]
+    if isinstance(x, jax.Array) and x.ndim > 0:
+        # slice ONE element on-device first: np.asarray(whole_leaf) would
+        # ship the entire array through the tunnel (8 MB ≈ 10 ms of
+        # transfer billed to the benchmark). The slice op depends on the
+        # full producer chain, so the 4-byte readback still proves true
+        # completion.
+        import jax.numpy as jnp
+
+        x = jnp.ravel(x)[0]
+    return float(np.ravel(np.asarray(x))[0])
 
 
 def timeit(fn, *args, iters: int = 10, pipelined: bool = True) -> float:
