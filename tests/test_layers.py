@@ -27,6 +27,21 @@ def test_rel_shift_matches_gather():
             )
 
 
+def test_rel_shift_matrix_matches_rel_shift():
+    """The one-hot contraction used in the attention layer must equal the
+    classic pad/reshape rel_shift applied to the scores."""
+    from espnet_tpu.layers.attention import rel_shift_matrix
+
+    rng = np.random.RandomState(1)
+    b, h, t = 2, 3, 6
+    q_v = jnp.asarray(rng.randn(b, t, h, 4).astype(np.float32))
+    p = jnp.asarray(rng.randn(2 * t - 1, h, 4).astype(np.float32))
+    legacy = rel_shift(jnp.einsum("bqhd,phd->bhqp", q_v, p))
+    shift = rel_shift_matrix(t, t, 2 * t - 1, jnp.float32)
+    got = jnp.einsum("bqhd,qjhd->bhqj", q_v, jnp.einsum("qjp,phd->qjhd", shift, p))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(legacy), atol=1e-5)
+
+
 def test_mha_masking():
     mha = MultiHeadedAttention(n_head=2, n_feat=8)
     x = jnp.asarray(np.random.RandomState(1).randn(2, 4, 8).astype(np.float32))
