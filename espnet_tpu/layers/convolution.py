@@ -44,9 +44,9 @@ class ConformerConvModule(nn.Module):
             dtype=self.dtype,
         )(h)
         if self.use_batch_norm:
-            h = nn.BatchNorm(use_running_average=deterministic)(h)
+            h = nn.BatchNorm(use_running_average=deterministic, dtype=self.dtype)(h)
         else:
-            h = nn.GroupNorm(num_groups=1)(h)
+            h = nn.GroupNorm(num_groups=1, dtype=self.dtype)(h)
         h = swish(h)
         h = nn.Conv(d, (1,), dtype=self.dtype)(h)
         if pad_mask is not None:

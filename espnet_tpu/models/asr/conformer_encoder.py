@@ -37,7 +37,7 @@ class ConformerEncoderLayer(nn.Module):
 
         if self.use_macaron:
             residual = x
-            x = nn.LayerNorm()(x)
+            x = nn.LayerNorm(dtype=self.dtype)(x)
             x = PositionwiseFeedForward(
                 self.linear_units, self.dropout_rate, activation="swish",
                 dtype=self.dtype,
@@ -45,7 +45,7 @@ class ConformerEncoderLayer(nn.Module):
             x = residual + ff_scale * drop(x, deterministic=deterministic)
 
         residual = x
-        x = nn.LayerNorm()(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
         x = RelPositionMultiHeadedAttention(
             self.attention_heads, self.attention_dim, self.attention_dropout_rate,
             dtype=self.dtype,
@@ -54,21 +54,21 @@ class ConformerEncoderLayer(nn.Module):
 
         if self.use_cnn:
             residual = x
-            x = nn.LayerNorm()(x)
+            x = nn.LayerNorm(dtype=self.dtype)(x)
             x = ConformerConvModule(self.cnn_kernel, dtype=self.dtype)(
                 x, pad_mask, deterministic=deterministic
             )
             x = residual + drop(x, deterministic=deterministic)
 
         residual = x
-        x = nn.LayerNorm()(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
         x = PositionwiseFeedForward(
             self.linear_units, self.dropout_rate, activation="swish",
             dtype=self.dtype,
         )(x, deterministic=deterministic)
         x = residual + ff_scale * drop(x, deterministic=deterministic)
 
-        return nn.LayerNorm()(x)
+        return nn.LayerNorm(dtype=self.dtype)(x)
 
 
 class ConformerEncoder(nn.Module):
@@ -105,7 +105,7 @@ class ConformerEncoder(nn.Module):
             )(xs.astype(self.dtype), ilens, deterministic=deterministic)
         elif self.input_layer == "linear":
             xs = nn.Dense(self.attention_dim)(xs)
-            xs = nn.LayerNorm()(xs)
+            xs = nn.LayerNorm(dtype=self.dtype)(xs)
             olens = ilens
         else:
             raise ValueError(self.input_layer)

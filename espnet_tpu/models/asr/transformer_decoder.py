@@ -48,9 +48,9 @@ class TransformerDecoderLayer(nn.Module):
         self.feed_forward = PositionwiseFeedForward(
             self.linear_units, self.dropout_rate, dtype=self.dtype
         )
-        self.norm1 = nn.LayerNorm()
-        self.norm2 = nn.LayerNorm()
-        self.norm3 = nn.LayerNorm()
+        self.norm1 = nn.LayerNorm(dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(dtype=self.dtype)
+        self.norm3 = nn.LayerNorm(dtype=self.dtype)
         self.dropout = nn.Dropout(self.dropout_rate)
 
     def __call__(self, x, self_mask, memory, memory_mask, deterministic: bool = True):
@@ -161,7 +161,7 @@ class TransformerDecoder(nn.Module):
             )
             for _ in range(self.num_blocks)
         ]
-        self.final_norm = nn.LayerNorm()
+        self.final_norm = nn.LayerNorm(dtype=self.dtype)
         self.output = nn.Dense(self.vocab_size)
 
     def __call__(

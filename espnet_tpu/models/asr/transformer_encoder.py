@@ -32,24 +32,24 @@ class TransformerEncoderLayer(nn.Module):
         drop = nn.Dropout(self.dropout_rate)
         residual = x
         if self.normalize_before:
-            x = nn.LayerNorm()(x)
+            x = nn.LayerNorm(dtype=self.dtype)(x)
         x = MultiHeadedAttention(
             self.attention_heads, self.attention_dim, self.attention_dropout_rate,
             dtype=self.dtype,
         )(x, x, x, mask, deterministic=deterministic)
         x = residual + drop(x, deterministic=deterministic)
         if not self.normalize_before:
-            x = nn.LayerNorm()(x)
+            x = nn.LayerNorm(dtype=self.dtype)(x)
 
         residual = x
         if self.normalize_before:
-            x = nn.LayerNorm()(x)
+            x = nn.LayerNorm(dtype=self.dtype)(x)
         x = PositionwiseFeedForward(
             self.linear_units, self.dropout_rate, dtype=self.dtype
         )(x, deterministic=deterministic)
         x = residual + drop(x, deterministic=deterministic)
         if not self.normalize_before:
-            x = nn.LayerNorm()(x)
+            x = nn.LayerNorm(dtype=self.dtype)(x)
         return x
 
 
@@ -81,7 +81,7 @@ class TransformerEncoder(nn.Module):
             )(xs.astype(self.dtype), ilens, deterministic=deterministic)
         elif self.input_layer == "linear":
             xs = nn.Dense(self.attention_dim)(xs)
-            xs = nn.LayerNorm()(xs)
+            xs = nn.LayerNorm(dtype=self.dtype)(xs)
             xs = nn.Dropout(self.dropout_rate)(xs, deterministic=deterministic)
             xs = nn.relu(xs)
             olens = ilens
@@ -107,5 +107,5 @@ class TransformerEncoder(nn.Module):
                 dtype=self.dtype,
             )(xs, mask, deterministic=deterministic)
         if self.normalize_before:
-            xs = nn.LayerNorm()(xs)
+            xs = nn.LayerNorm(dtype=self.dtype)(xs)
         return xs.astype(jnp.float32), olens
