@@ -183,3 +183,39 @@ def test_launch_local():
     )
     assert r.returncode == 0
     assert "w 0 2" in r.stdout and "w 1 2" in r.stdout
+
+
+def test_feats_utils_pipeline(tmp_path):
+    """fbank -> cmvn -> apply-cmvn -> copy round trip (reference:
+    utils/compute-fbank-feats.py / compute-cmvn-stats / apply-cmvn)."""
+    from espnet_tpu.data.kaldi_io import load_scp_entry, read_scp
+
+    rng = np.random.RandomState(0)
+    scp = tmp_path / "wav.scp"
+    lines = []
+    for i in range(3):
+        wav = tmp_path / f"u{i}.wav"
+        write_wav(wav, 16000, (rng.randn(16000) * 0.1).astype(np.float32))
+        lines.append(f"u{i} {wav}")
+    scp.write_text("\n".join(lines) + "\n")
+
+    run_cli("feats_utils", "fbank", "--scp", scp,
+            "--out_ark", tmp_path / "f.ark", "--out_scp", tmp_path / "f.scp")
+    feats = load_scp_entry(list(read_scp(tmp_path / "f.scp").values())[0])
+    assert feats.ndim == 2 and feats.shape[1] == 80
+
+    run_cli("feats_utils", "cmvn", "--scp", tmp_path / "f.scp",
+            "--out", tmp_path / "cmvn.ark")
+    run_cli("feats_utils", "apply-cmvn", "--scp", tmp_path / "f.scp",
+            "--cmvn", tmp_path / "cmvn.ark",
+            "--out_ark", tmp_path / "d.ark", "--out_scp", tmp_path / "d.scp")
+    normed = np.concatenate(
+        [load_scp_entry(rx) for rx in read_scp(tmp_path / "d.scp").values()]
+    )
+    np.testing.assert_allclose(normed.mean(0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(normed.std(0), 1.0, atol=1e-3)
+
+    run_cli("feats_utils", "copy", "--scp", tmp_path / "f.scp",
+            "--out_ark", tmp_path / "c.ark", "--out_scp", tmp_path / "c.scp")
+    copied = load_scp_entry(list(read_scp(tmp_path / "c.scp").values())[0])
+    np.testing.assert_allclose(copied, feats, atol=1e-6)
