@@ -14,9 +14,21 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 MASK_MIN = -1.0e9
+
+# fused Pallas attention pays off once the (Tq, Tk) score tensors are big
+# enough that XLA's decomposed path is HBM-bound: measured on v5e, the
+# kernel loses at T=128 (tiny matmuls, sequential grid) and wins ~20% at
+# T=512 — gate on the score-matrix size. Rel-pos crosses over earlier
+# (T=256) because fusing the bias read + dbias write saves more.
+_FUSED_MIN_SCORE = 512 * 512
+_FUSED_MIN_SCORE_BIASED = 256 * 256
+# per-cell VMEM: bias block + f32 score tile + q/k/v/o slabs (x2 for
+# double buffering) must fit the ~16MB VMEM with headroom
+_FUSED_VMEM_BUDGET = 11 * 1024 * 1024
 
 
 class MultiHeadedAttention(nn.Module):
@@ -24,6 +36,8 @@ class MultiHeadedAttention(nn.Module):
     n_feat: int
     dropout_rate: float = 0.0
     dtype: type = jnp.float32
+    # None → fused Pallas attention on TPU, XLA path elsewhere
+    use_fused: Optional[bool] = None
 
     def setup(self):
         assert self.n_feat % self.n_head == 0
@@ -33,6 +47,51 @@ class MultiHeadedAttention(nn.Module):
         self.linear_v = nn.Dense(self.n_feat, dtype=self.dtype)
         self.linear_out = nn.Dense(self.n_feat, dtype=self.dtype)
         self.dropout = nn.Dropout(self.dropout_rate)
+
+    def _fused_ok(self, mask, deterministic, return_attn, tq, tk):
+        """Fused kernel handles key-padding masks (not causal/2-D masks),
+        no attention dropout, and no attention-map output; only worth it
+        for large score matrices (see _FUSED_MIN_SCORE) that still fit
+        the per-cell VMEM budget."""
+        use = self.use_fused
+        if use is None:
+            use = (
+                jax.default_backend() == "tpu"
+                and tq * tk >= self._fused_min_score()
+            )
+        if not use or return_attn:
+            return False
+        if self.dropout_rate > 0.0 and not deterministic:
+            return False
+        vmem = (
+            self.n_head * tq * tk * 2  # bias block (bf16)
+            + tq * tk * 4  # f32 score tile
+            + 8 * self.n_head * max(tq, tk) * self.d_k * 2  # q/k/v/o x2 buf
+        )
+        if vmem > _FUSED_VMEM_BUDGET:
+            return False
+        return self._mask_is_key_type(mask)
+
+    def _fused_min_score(self):
+        return _FUSED_MIN_SCORE
+
+    @staticmethod
+    def _mask_is_key_type(mask):
+        if mask is None:
+            return True
+        if mask.ndim == 3 and mask.shape[1] == 1:
+            return True
+        if mask.ndim == 4 and mask.shape[1] == 1 and mask.shape[2] == 1:
+            return True
+        return False
+
+    @staticmethod
+    def _key_mask_add(mask, b, tk):
+        """(B,1,Tk) / (B,1,1,Tk) boolean mask → (B, Tk) f32 additive."""
+        if mask is None:
+            return jnp.zeros((b, tk), jnp.float32)
+        key_mask = mask.reshape(b, tk)
+        return jnp.where(key_mask, 0.0, MASK_MIN).astype(jnp.float32)
 
     def qkv(self, query, key, value):
         b = query.shape[0]
@@ -64,9 +123,16 @@ class MultiHeadedAttention(nn.Module):
         return_attn: bool = False,
     ):
         q, k, v = self.qkv(query, key, value)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
-            jnp.asarray(self.d_k, dtype=q.dtype)
-        )
+        scale = jnp.asarray(1.0 / self.d_k**0.5, dtype=q.dtype)
+        if self._fused_ok(mask, deterministic, return_attn, q.shape[1], k.shape[1]):
+            from espnet_tpu.ops.fused_attention import fused_attention
+
+            b, tq = q.shape[:2]
+            out = fused_attention(
+                q * scale, k, v, None, self._key_mask_add(mask, b, k.shape[1])
+            )
+            return self.linear_out(out.reshape(b, tq, self.n_feat))
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
         if mask is not None and mask.ndim == 3:
             mask = mask[:, None]
         out, attn = self.attend(scores, v, mask, deterministic)
@@ -109,6 +175,9 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
     score = (q+u)·k + rel_shift((q+v)·p), both scaled by 1/sqrt(d_k).
     """
 
+    def _fused_min_score(self):
+        return _FUSED_MIN_SCORE_BIASED
+
     def setup(self):
         super().setup()
         self.linear_pos = nn.Dense(self.n_feat, use_bias=False, dtype=self.dtype)
@@ -133,17 +202,24 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
         n_pos = pos_emb.shape[1]
         p = self.linear_pos(pos_emb).reshape(n_pos, self.n_head, self.d_k)
 
-        q_u = q + self.pos_bias_u[None, None].astype(q.dtype)
-        q_v = q + self.pos_bias_v[None, None].astype(q.dtype)
-        matrix_ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k)
+        scale = jnp.asarray(1.0 / self.d_k**0.5, dtype=q.dtype)
+        q_u = (q + self.pos_bias_u[None, None].astype(q.dtype)) * scale
+        q_v = (q + self.pos_bias_v[None, None].astype(q.dtype)) * scale
         # rel-shift folded into a one-hot contraction: pos embeddings are
         # batch-independent, so shift them (not the (B,H,Tq,2T-1) scores).
         shift = rel_shift_matrix(query.shape[1], key.shape[1], n_pos, p.dtype)
         p_shifted = jnp.einsum("qjp,phd->qjhd", shift, p)
         matrix_bd = jnp.einsum("bqhd,qjhd->bhqj", q_v, p_shifted)
-        scores = (matrix_ac + matrix_bd) / jnp.sqrt(
-            jnp.asarray(self.d_k, dtype=q.dtype)
-        )
+        if self._fused_ok(mask, deterministic, return_attn, q.shape[1], k.shape[1]):
+            from espnet_tpu.ops.fused_attention import fused_attention
+
+            b, tq = q.shape[:2]
+            out = fused_attention(
+                q_u, k, v, matrix_bd, self._key_mask_add(mask, b, k.shape[1])
+            )
+            return self.linear_out(out.reshape(b, tq, self.n_feat))
+        matrix_ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k)
+        scores = matrix_ac + matrix_bd
         if mask is not None and mask.ndim == 3:
             mask = mask[:, None]
         out, attn = self.attend(scores, v, mask, deterministic)
