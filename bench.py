@@ -136,6 +136,7 @@ def bench_transducer_train():
     model = TransducerModel(
         vocab_size=vocab, encoder=enc, dunits=256, joint_dim=256,
         loss_impl="pallas" if platform == "tpu" else "scan",
+        dtype=jnp.bfloat16,
     )
     rng = np.random.RandomState(0)
     feats = rng.randn(b, t, 80).astype(np.float32)

@@ -25,10 +25,16 @@ class PredictionNet(nn.Module):
     dlayers: int = 1
     embed_dim: Optional[int] = None
     dropout_rate: float = 0.0
+    dtype: type = jnp.float32
 
     def setup(self):
-        self.embed = nn.Embed(self.vocab_size, self.embed_dim or self.dunits)
-        self.cells = [nn.LSTMCell(self.dunits) for _ in range(self.dlayers)]
+        self.embed = nn.Embed(
+            self.vocab_size, self.embed_dim or self.dunits, dtype=self.dtype
+        )
+        self.cells = [
+            nn.LSTMCell(self.dunits, dtype=self.dtype)
+            for _ in range(self.dlayers)
+        ]
         self.dropout = nn.Dropout(self.dropout_rate)
 
     def init_carry(self, batch: int, dtype=jnp.float32):
@@ -51,7 +57,7 @@ class PredictionNet(nn.Module):
         b, u = labels.shape
         start = jnp.zeros((b, 1), dtype=labels.dtype)  # blank id 0 as start
         tokens = jnp.concatenate([start, labels.clip(0)], axis=1)  # (B, U+1)
-        carry = self.init_carry(b)
+        carry = self.init_carry(b, self.dtype)
 
         def body(mdl, carry, tok):
             return mdl.step(carry, tok)
@@ -71,11 +77,12 @@ class JointNetwork(nn.Module):
     vocab_size: int
     joint_dim: int = 256
     activation: str = "tanh"
+    dtype: type = jnp.float32
 
     def setup(self):
-        self.lin_enc = nn.Dense(self.joint_dim)
-        self.lin_dec = nn.Dense(self.joint_dim, use_bias=False)
-        self.lin_out = nn.Dense(self.vocab_size)
+        self.lin_enc = nn.Dense(self.joint_dim, dtype=self.dtype)
+        self.lin_dec = nn.Dense(self.joint_dim, use_bias=False, dtype=self.dtype)
+        self.lin_out = nn.Dense(self.vocab_size, dtype=self.dtype)
 
     def __call__(self, h_enc: jnp.ndarray, h_dec: jnp.ndarray) -> jnp.ndarray:
         """h_enc (..., 1?, D1) + h_dec (..., D2) broadcast → (..., V)."""
@@ -111,6 +118,9 @@ class TransducerModel(nn.Module):
     pred_type: str = "lstm"
     pred_heads: int = 4
     pred_units: int = 1024
+    # compute dtype for prediction + joint nets (encoder carries its own);
+    # log-prob math (logsumexp/gather) stays f32 for lattice numerics
+    dtype: type = jnp.float32
 
     def setup(self):
         if self.pred_type == "transformer":
@@ -124,9 +134,11 @@ class TransducerModel(nn.Module):
             )
         else:
             self.prediction = PredictionNet(
-                self.vocab_size, self.dunits, self.dlayers
+                self.vocab_size, self.dunits, self.dlayers, dtype=self.dtype
             )
-        self.joint = JointNetwork(self.vocab_size, self.joint_dim)
+        self.joint = JointNetwork(
+            self.vocab_size, self.joint_dim, dtype=self.dtype
+        )
         if self.aux_ctc_weight > 0:
             from espnet_tpu.models.asr.ctc import CTCHead
 
@@ -161,7 +173,7 @@ class TransducerModel(nn.Module):
             lp_blank, lp_emit = self._chunked_lattice_log_probs(hs, g, text)
             nll = lattice_loss(lp_blank, lp_emit, hlens, text_lengths)
         elif self.loss_impl == "pallas":
-            logits = self.joint.lattice(hs, g)  # (B, T, U+1, V)
+            logits = self.joint.lattice(hs, g).astype(jnp.float32)
             lse = jax.nn.logsumexp(logits, axis=-1)
             labels_c = jnp.where(text < 0, 0, text)
             lab = jnp.broadcast_to(
@@ -176,7 +188,7 @@ class TransducerModel(nn.Module):
             )
             nll = lattice_loss(lp_blank, lp_emit, hlens, text_lengths)
         else:
-            logits = self.joint.lattice(hs, g)  # (B, T, U+1, V)
+            logits = self.joint.lattice(hs, g).astype(jnp.float32)
             nll = rnnt_loss(logits, text, hlens, text_lengths, blank=self.blank)
         loss = nll.mean()
         stats = {"loss": loss, "loss_transducer": loss}
@@ -200,7 +212,8 @@ class TransducerModel(nn.Module):
         blank = self.blank
 
         def _chunk(joint_mod, h_chunk, g_in, lab):
-            logits = joint_mod.lattice(h_chunk, g_in)  # (B, tc, U+1, V)
+            # (B, tc, U+1, V); log-prob math in f32
+            logits = joint_mod.lattice(h_chunk, g_in).astype(jnp.float32)
             lse = jax.nn.logsumexp(logits, axis=-1)
             lp_blank = logits[..., blank] - lse
             lab_b = jnp.broadcast_to(
