@@ -29,18 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e10
 LANE = 128
-CHUNK = 8  # minimum utterances per program = VPU sublane count
-VMEM_BUDGET = 13 * 1024 * 1024
-
-
-def _pick_chunk(t: int, s_pad: int) -> int:
-    """Grid programs run SEQUENTIALLY on the TensorCore, so bigger chunks
-    = fewer serial T-loops and fuller (CHUNK, S) tiles — bounded by VMEM
-    (2 resident (CHUNK, T, S) f32 blocks: emit + alpha/beta)."""
-    chunk = CHUNK
-    while chunk < 32 and 2 * chunk * t * s_pad * 4 * 2 <= VMEM_BUDGET:
-        chunk *= 2
-    return chunk
+CHUNK = 8  # batch padded to the VPU sublane count
 
 
 def _round_up(x: int, m: int) -> int:
@@ -53,68 +42,72 @@ def _logadd2(a, b):
     return jnp.where(m <= NEG_INF / 2, NEG_INF, out)
 
 
-def _scalar_vec(ref, base, n):
-    """Read n consecutive SMEM scalars starting at base → (n, 1) array."""
-    vals = [ref[base + j] for j in range(n)]
-    return jnp.stack(vals).reshape(n, 1)
-
-
-def _alpha_kernel(emit_ref, skip_ref, ilen_ref, alpha_ref):
-    """emit (CH, T, S), skip (CH, S), ilen SMEM (B,) → alpha (CH, T, S)."""
-    ch, t_max, s = emit_ref.shape
+def _alpha_kernel(emit_ref, skip_ref, ilen_ref, alpha_ref, row_ref):
+    """T-streamed: arrays in (T, B, S) layout, emit block (1, B, S) at
+    t = program_id(0); the alpha row is carried in VMEM scratch across
+    grid steps. Streaming over T keeps VMEM tiny so the WHOLE batch runs
+    in one sequential T sweep — the previous whole-(CH,T,S)-resident
+    design had to chunk the batch and so ran the serial T loop B/CH
+    times."""
+    t = pl.program_id(0)
+    _, ch, s = emit_ref.shape
     skip = skip_ref[:, :]  # (CH, S)
-    i0 = pl.program_id(0) * ch
-    ilen = _scalar_vec(ilen_ref, i0, ch)  # (CH, 1)
+    ilen = ilen_ref[:, :]  # (CH, 1) int32 in VMEM
     col = jax.lax.broadcasted_iota(jnp.int32, (ch, s), 1)
+    emit_t = emit_ref[0]  # (CH, S)
 
-    alpha0 = jnp.where(col < 2, emit_ref[:, 0, :], NEG_INF)
-    alpha_ref[:, 0, :] = alpha0
+    @pl.when(t == 0)
+    def _init():
+        row_ref[:, :] = jnp.where(col < 2, emit_t, NEG_INF)
 
-    def step(t, alpha):
-        emit_t = emit_ref[:, t, :]  # (CH, S)
+    @pl.when(t > 0)
+    def _step():
+        alpha = row_ref[:, :]
         a1 = jnp.where(col >= 1, pltpu.roll(alpha, 1, 1), NEG_INF)
         a2 = jnp.where((col >= 2) & (skip > 0), pltpu.roll(alpha, 2, 1), NEG_INF)
         new = _logadd2(_logadd2(alpha, a1), a2) + emit_t
         new = jnp.maximum(new, NEG_INF)
-        new = jnp.where(t < ilen, new, alpha)  # freeze finished rows
-        alpha_ref[:, t, :] = new
-        return new
+        row_ref[:, :] = jnp.where(t < ilen, new, alpha)  # freeze finished
 
-    jax.lax.fori_loop(1, t_max, step, alpha0)
+    alpha_ref[0] = row_ref[:, :]
 
 
-def _beta_kernel(emit_ref, skip_ref, ilen_ref, llen_ref, beta_ref):
-    """beta (CH, T, S): completion log-prob from state s at t, EXCLUDING
-    the emission at t (so α+β−logZ is the state posterior)."""
-    ch, t_max, s = emit_ref.shape
+def _beta_kernel(emit_next_ref, skip_ref, ilen_ref, llen_ref, beta_ref, row_ref):
+    """beta, (T, B, S) layout: completion log-prob from state s at t,
+    EXCLUDING the emission at t (so α+β−logZ is the state posterior).
+    Streamed in reverse time: grid step i visits t = T-1-i;
+    emit_next_ref is the emit block at min(t+1, T-1) via its index
+    map."""
+    t_max = pl.num_programs(0)
+    i = pl.program_id(0)
+    t = t_max - 1 - i
+    _, ch, s = emit_next_ref.shape
     skip = skip_ref[:, :]
-    i0 = pl.program_id(0) * ch
-    ilen = _scalar_vec(ilen_ref, i0, ch)   # (CH, 1)
-    llen = _scalar_vec(llen_ref, i0, ch)   # (CH, 1)
+    ilen = ilen_ref[:, :]  # (CH, 1) int32 in VMEM
+    llen = llen_ref[:, :]  # (CH, 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (ch, s), 1)
     end_mask = (col == 2 * llen) | ((col == 2 * llen - 1) & (llen > 0))
     skip_fwd = pltpu.roll(skip, s - 2, 1)  # skip_fwd[s] = skip[s+2]
     init_row = jnp.where(end_mask, 0.0, NEG_INF)
 
-    def body(i, beta):
-        t = t_max - 1 - i
-        t_next = jnp.minimum(t + 1, t_max - 1)
-        emit_next = emit_ref[:, t_next, :]
-        b = beta + emit_next
-        b1 = jnp.where(col < s - 1, pltpu.roll(b, s - 1, 1), NEG_INF)
-        b2 = jnp.where(
-            (col < s - 2) & (skip_fwd > 0), pltpu.roll(b, s - 2, 1), NEG_INF
-        )
-        rec = jnp.maximum(_logadd2(_logadd2(b, b1), b2), NEG_INF)
-        # per-row: at t == ilen-1 start from the end states; beyond ilen
-        # the row is dead (NEG_INF); otherwise recurse
-        beta_new = jnp.where(
-            t == ilen - 1, init_row, jnp.where(t < ilen - 1, rec, NEG_INF)
-        )
-        beta_ref[:, t, :] = beta_new
-        return beta_new
+    @pl.when(i == 0)
+    def _init():
+        row_ref[:, :] = jnp.full((ch, s), NEG_INF)
 
-    jax.lax.fori_loop(0, t_max, body, jnp.full((ch, s), NEG_INF))
+    beta = row_ref[:, :]
+    b = beta + emit_next_ref[0]
+    b1 = jnp.where(col < s - 1, pltpu.roll(b, s - 1, 1), NEG_INF)
+    b2 = jnp.where(
+        (col < s - 2) & (skip_fwd > 0), pltpu.roll(b, s - 2, 1), NEG_INF
+    )
+    rec = jnp.maximum(_logadd2(_logadd2(b, b1), b2), NEG_INF)
+    # per-row: at t == ilen-1 start from the end states; beyond ilen the
+    # row is dead (NEG_INF); otherwise recurse
+    beta_new = jnp.where(
+        t == ilen - 1, init_row, jnp.where(t < ilen - 1, rec, NEG_INF)
+    )
+    row_ref[:, :] = beta_new
+    beta_ref[0] = beta_new
 
 
 def _pad_s(x, s_pad, fill):
@@ -151,50 +144,55 @@ def _pad_b(x, b_pad, fill):
 
 def _run_alpha(emit, allow_skip, input_lengths, interpret=False):
     b, t, s_pad = emit.shape
-    chunk = _pick_chunk(t, s_pad)
-    b_pad = _round_up(b, chunk)
-    emit_p = _pad_b(emit, b_pad, NEG_INF)
+    b_pad = _round_up(b, CHUNK)
+    emit_p = jnp.transpose(_pad_b(emit, b_pad, NEG_INF), (1, 0, 2))
     skip_p = _pad_b(allow_skip, b_pad, 0.0)
-    ilen_p = _pad_b(input_lengths.astype(jnp.int32), b_pad, 0)
+    ilen_p = _pad_b(input_lengths.astype(jnp.int32), b_pad, 0)[:, None]
 
     alpha = pl.pallas_call(
         _alpha_kernel,
-        grid=(b_pad // chunk,),
+        grid=(t,),
         in_specs=[
-            pl.BlockSpec((chunk, t, s_pad), lambda i: (i, 0, 0)),
-            pl.BlockSpec((chunk, s_pad), lambda i: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, b_pad, s_pad), lambda tt: (tt, 0, 0)),
+            pl.BlockSpec((b_pad, s_pad), lambda tt: (0, 0)),
+            pl.BlockSpec((b_pad, 1), lambda tt: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((chunk, t, s_pad), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b_pad, t, s_pad), jnp.float32),
+        out_specs=pl.BlockSpec((1, b_pad, s_pad), lambda tt: (tt, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((t, b_pad, s_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b_pad, s_pad), jnp.float32)],
         interpret=interpret,
     )(emit_p, skip_p, ilen_p)
-    return alpha[:b]
+    return jnp.transpose(alpha, (1, 0, 2))[:b]
 
 
 def _run_beta(emit, allow_skip, input_lengths, label_lengths, interpret=False):
     b, t, s_pad = emit.shape
-    chunk = _pick_chunk(t, s_pad)
-    b_pad = _round_up(b, chunk)
-    emit_p = _pad_b(emit, b_pad, NEG_INF)
+    b_pad = _round_up(b, CHUNK)
+    emit_p = jnp.transpose(_pad_b(emit, b_pad, NEG_INF), (1, 0, 2))
     skip_p = _pad_b(allow_skip, b_pad, 0.0)
-    ilen_p = _pad_b(input_lengths.astype(jnp.int32), b_pad, 0)
-    llen_p = _pad_b(label_lengths.astype(jnp.int32), b_pad, 0)
+    ilen_p = _pad_b(input_lengths.astype(jnp.int32), b_pad, 0)[:, None]
+    llen_p = _pad_b(label_lengths.astype(jnp.int32), b_pad, 0)[:, None]
 
     beta = pl.pallas_call(
         _beta_kernel,
-        grid=(b_pad // chunk,),
+        grid=(t,),
         in_specs=[
-            pl.BlockSpec((chunk, t, s_pad), lambda i: (i, 0, 0)),
-            pl.BlockSpec((chunk, s_pad), lambda i: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # emit at t_next = min(T-1-i+1, T-1), reverse-time streaming
+            pl.BlockSpec(
+                (1, b_pad, s_pad), lambda tt: (jnp.minimum(t - tt, t - 1), 0, 0)
+            ),
+            pl.BlockSpec((b_pad, s_pad), lambda tt: (0, 0)),
+            pl.BlockSpec((b_pad, 1), lambda tt: (0, 0)),
+            pl.BlockSpec((b_pad, 1), lambda tt: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((chunk, t, s_pad), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b_pad, t, s_pad), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (1, b_pad, s_pad), lambda tt: (t - 1 - tt, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((t, b_pad, s_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b_pad, s_pad), jnp.float32)],
         interpret=interpret,
     )(emit_p, skip_p, ilen_p, llen_p)
-    return beta[:b]
+    return jnp.transpose(beta, (1, 0, 2))[:b]
 
 
 def _loglik_from_alpha(alpha, input_lengths, label_lengths):
