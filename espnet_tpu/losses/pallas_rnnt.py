@@ -6,8 +6,9 @@ losses/pallas_ctc.py replaces warp-ctc. Design:
 
 - blank/emit log-probs are pre-gathered OUTSIDE the kernel
   ((B,T,U+1)/(B,T,U) from the joint logits — one XLA gather + logsumexp);
-  the kernels own only the sequential T-recursion with the whole
-  (CHUNK, T, S) lattice resident in VMEM.
+  the kernels own only the sequential T-recursion, streamed over a
+  T-grid in (T, B, S) layout with the recursion row carried in VMEM
+  scratch — the whole batch advances in ONE serial T sweep.
 - Within a time step the u-recursion
       α(t,u) = logadd(α(t-1,u)+blank(t-1,u), α(t,u-1)+emit(t,u-1))
   is a log-space linear recurrence solved in closed form:
@@ -41,27 +42,11 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1.0e10
 LANE = 128
 TINY = 1e-37
-VMEM_BUDGET = 13 * 1024 * 1024  # per-program working set (16MB VMEM/core)
-
-
-def _pick_chunk(t: int, s_pad: int) -> int:
-    """Utterances per program: grid programs run sequentially on the
-    TensorCore, so bigger chunks = fewer sequential T-loops and fuller
-    (CHUNK, S) VPU/MXU tiles — bounded by VMEM (3 resident (CHUNK,T,S)
-    f32 blocks: lpb, cum, out)."""
-    chunk = 8
-    while chunk < 32 and 2 * chunk * t * s_pad * 4 * 3 <= VMEM_BUDGET:
-        chunk *= 2
-    return chunk
+CHUNK = 8  # batch padded to the VPU sublane count
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
-
-
-def _scalar_vec(ref, base, n):
-    vals = [ref[base + j] for j in range(n)]
-    return jnp.stack(vals).reshape(n, 1)
 
 
 BLOCK = 16  # lanes per logsumexp block (range within a block stays tiny)
@@ -157,62 +142,67 @@ def _cumlse(x, blockdiag_mask, blockfull_mask, col, reverse=False):
     return _logadd2(local, carry)
 
 
-def _rnnt_alpha_kernel(lpb_ref, cum_ref, ilen_ref, llen_ref, alpha_ref):
-    """lpb (CH,T,S) blank log-probs, cum (CH,T,S) EXCLUSIVE per-frame
-    cumsum of emit log-probs (C(t,u) = Σ_{j<u} emit(t,j), precomputed in
-    XLA — a plain linear sum, cheaper outside), SMEM lengths →
-    alpha (CH,T,S)."""
-    ch, t_max, s = lpb_ref.shape
-    i0 = pl.program_id(0) * ch
-    ilen = _scalar_vec(ilen_ref, i0, ch)
-    llen = _scalar_vec(llen_ref, i0, ch)
+def _rnnt_alpha_kernel(lpb_ref, cum_ref, ilen_ref, llen_ref, alpha_ref, row_ref):
+    """T-streamed ((T, B, S) layout): lpb block at t-1 (blank log-probs),
+    cum block at t (EXCLUSIVE per-frame cumsum of emit log-probs,
+    C(t,u) = Σ_{j<u} emit(t,j), precomputed in XLA — a plain linear sum,
+    cheaper outside), lengths as VMEM vectors → alpha block at t. The
+    recursion row lives in VMEM scratch across grid steps, so the WHOLE
+    batch runs in one serial T sweep instead of B/chunk sweeps."""
+    t = pl.program_id(0)
+    _, ch, s = lpb_ref.shape
+    ilen = ilen_ref[:, :]  # (CH, 1)
+    llen = llen_ref[:, :]
     col = jax.lax.broadcasted_iota(jnp.int32, (ch, s), 1)
     valid_u = col <= llen
     _, t_incl, _, t_full = _tri(s)
+    c = cum_ref[0]  # (CH, S) at t
 
-    # t=0: alpha(0,u) = Σ_{j<u} emit(0,j)
-    alpha = jnp.where(valid_u, jnp.maximum(cum_ref[:, 0, :], NEG_INF), NEG_INF)
-    alpha_ref[:, 0, :] = alpha
+    @pl.when(t == 0)
+    def _init():
+        # t=0: alpha(0,u) = Σ_{j<u} emit(0,j)
+        row_ref[:, :] = jnp.where(valid_u, jnp.maximum(c, NEG_INF), NEG_INF)
 
-    def step(t, alpha):
-        a = alpha + lpb_ref[:, t - 1, :]
-        c = cum_ref[:, t, :]
+    @pl.when(t > 0)
+    def _step():
+        alpha = row_ref[:, :]
+        a = alpha + lpb_ref[0]  # lpb block is at t-1
         x = jnp.where(valid_u, a - c, NEG_INF)
         new = c + _cumlse(x, t_incl, t_full, col)  # prefix (j ≤ u)
         new = jnp.where(valid_u, jnp.maximum(new, NEG_INF), NEG_INF)
-        new = jnp.where(t < ilen, new, alpha)  # freeze finished rows
-        alpha_ref[:, t, :] = new
-        return new
+        row_ref[:, :] = jnp.where(t < ilen, new, alpha)  # freeze finished
 
-    jax.lax.fori_loop(1, t_max, step, alpha)
+    alpha_ref[0] = row_ref[:, :]
 
 
-def _rnnt_beta_kernel(lpb_ref, cum_ref, ilen_ref, llen_ref, beta_ref):
-    """beta (CH,T,S): β(t,u) = log P(complete from (t,u)), including the
-    final blank at (ilen-1, llen). cum as in the alpha kernel."""
-    ch, t_max, s = lpb_ref.shape
-    i0 = pl.program_id(0) * ch
-    ilen = _scalar_vec(ilen_ref, i0, ch)
-    llen = _scalar_vec(llen_ref, i0, ch)
+def _rnnt_beta_kernel(lpb_ref, cum_ref, ilen_ref, llen_ref, beta_ref, row_ref):
+    """beta, (T, B, S) layout: β(t,u) = log P(complete from (t,u)),
+    including the final blank at (ilen-1, llen). Streamed in reverse
+    time: grid step i visits t = T-1-i; lpb/cum blocks are at t."""
+    t_max = pl.num_programs(0)
+    i = pl.program_id(0)
+    t = t_max - 1 - i
+    _, ch, s = lpb_ref.shape
+    ilen = ilen_ref[:, :]
+    llen = llen_ref[:, :]
     col = jax.lax.broadcasted_iota(jnp.int32, (ch, s), 1)
     valid_u = col <= llen
     _, _, t_upper, t_full = _tri(s)
     terminal = jnp.where(col == llen, 0.0, NEG_INF)  # virtual β(ilen,·)
 
-    def body(i, beta):
-        t = t_max - 1 - i
-        beta_next = jnp.where(t == ilen - 1, terminal, beta)
-        bv = lpb_ref[:, t, :] + beta_next
-        d = cum_ref[:, t, :]
-        x = jnp.where(valid_u, bv + d, NEG_INF)
-        new = -d + _cumlse(x, t_upper, t_full, col, reverse=True)  # suffix (j ≥ u)
-        new = jnp.where(
-            (t < ilen) & valid_u, jnp.maximum(new, NEG_INF), NEG_INF
-        )
-        beta_ref[:, t, :] = new
-        return new
+    @pl.when(i == 0)
+    def _init():
+        row_ref[:, :] = jnp.full((ch, s), NEG_INF)
 
-    jax.lax.fori_loop(0, t_max, body, jnp.full((ch, s), NEG_INF))
+    beta = row_ref[:, :]
+    beta_next = jnp.where(t == ilen - 1, terminal, beta)
+    bv = lpb_ref[0] + beta_next
+    d = cum_ref[0]
+    x = jnp.where(valid_u, bv + d, NEG_INF)
+    new = -d + _cumlse(x, t_upper, t_full, col, reverse=True)  # suffix (j ≥ u)
+    new = jnp.where((t < ilen) & valid_u, jnp.maximum(new, NEG_INF), NEG_INF)
+    row_ref[:, :] = new
+    beta_ref[0] = new
 
 
 def _pad_lane(x, s_pad):
@@ -237,30 +227,38 @@ def _exclusive_cumsum(lpe):
     return jnp.pad(jnp.cumsum(lpe, axis=2), ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
 
 
-def _run(kernel, lpb, cum, ilens, llens, interpret):
+def _run(kernel, lpb, cum, ilens, llens, interpret, reverse):
+    """Launch a T-streamed lattice kernel. `reverse=False` (alpha): lpb
+    block at max(t-1, 0), cum at t, output at t. `reverse=True` (beta):
+    step i visits t = T-1-i; lpb/cum/output blocks at that t."""
     b, t, s_pad = lpb.shape
-    chunk = _pick_chunk(t, s_pad)
-    b_pad = _round_up(b, chunk)
+    b_pad = _round_up(b, CHUNK)
     args = (
-        _pad_b(lpb, b_pad, NEG_INF),
-        _pad_b(cum, b_pad, NEG_INF),
-        _pad_b(ilens.astype(jnp.int32), b_pad, 0),
-        _pad_b(llens.astype(jnp.int32), b_pad, 0),
+        jnp.transpose(_pad_b(lpb, b_pad, NEG_INF), (1, 0, 2)),
+        jnp.transpose(_pad_b(cum, b_pad, NEG_INF), (1, 0, 2)),
+        _pad_b(ilens.astype(jnp.int32), b_pad, 0)[:, None],
+        _pad_b(llens.astype(jnp.int32), b_pad, 0)[:, None],
     )
+    if reverse:
+        lpb_idx = cum_idx = out_idx = lambda tt: (t - 1 - tt, 0, 0)
+    else:
+        lpb_idx = lambda tt: (jnp.maximum(tt - 1, 0), 0, 0)
+        cum_idx = out_idx = lambda tt: (tt, 0, 0)
     out = pl.pallas_call(
         kernel,
-        grid=(b_pad // chunk,),
+        grid=(t,),
         in_specs=[
-            pl.BlockSpec((chunk, t, s_pad), lambda i: (i, 0, 0)),
-            pl.BlockSpec((chunk, t, s_pad), lambda i: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, b_pad, s_pad), lpb_idx),
+            pl.BlockSpec((1, b_pad, s_pad), cum_idx),
+            pl.BlockSpec((b_pad, 1), lambda tt: (0, 0)),
+            pl.BlockSpec((b_pad, 1), lambda tt: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((chunk, t, s_pad), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b_pad, t, s_pad), jnp.float32),
+        out_specs=pl.BlockSpec((1, b_pad, s_pad), out_idx),
+        out_shape=jax.ShapeDtypeStruct((t, b_pad, s_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b_pad, s_pad), jnp.float32)],
         interpret=interpret,
     )(*args)
-    return out[:b]
+    return jnp.transpose(out, (1, 0, 2))[:b]
 
 
 def _prep(lp_blank, lp_emit, label_lengths):
@@ -291,7 +289,10 @@ def rnnt_loss_pallas(
 def _rnnt_fwd(lp_blank, lp_emit, input_lengths, label_lengths, interpret):
     lpb, lpe = _prep(lp_blank, lp_emit, label_lengths)
     cum = _exclusive_cumsum(lpe)
-    alpha = _run(_rnnt_alpha_kernel, lpb, cum, input_lengths, label_lengths, interpret)
+    alpha = _run(
+        _rnnt_alpha_kernel, lpb, cum, input_lengths, label_lengths,
+        interpret, reverse=False,
+    )
     # loglik = α(ilen-1, llen) + blank(ilen-1, llen)
     it = jnp.maximum(input_lengths - 1, 0)[:, None, None]
     a_fin = jnp.take_along_axis(alpha, it, axis=1)[:, 0]
@@ -309,7 +310,7 @@ def _rnnt_bwd(interpret, res, g):
     b, t, s_pad = lpb.shape
     beta = _run(
         _rnnt_beta_kernel, lpb, _exclusive_cumsum(lpe), input_lengths,
-        label_lengths, interpret,
+        label_lengths, interpret, reverse=True,
     )
 
     col = jnp.arange(s_pad)[None, None, :]
