@@ -19,9 +19,11 @@ class CTCHead(nn.Module):
     dropout_rate: float = 0.0
     # None = auto: Pallas kernel on TPU, lax.scan elsewhere
     use_pallas: Optional[bool] = None
+    # projection compute dtype; log-softmax always upcasts to f32
+    dtype: type = jnp.float32
 
     def setup(self):
-        self.ctc_lo = nn.Dense(self.vocab_size)
+        self.ctc_lo = nn.Dense(self.vocab_size, dtype=self.dtype)
         self.dropout = nn.Dropout(self.dropout_rate)
 
     def _nll(self, logp, ys, hlens, ylens):
@@ -45,12 +47,12 @@ class CTCHead(nn.Module):
         """Mean-over-batch CTC loss (reference ctc.py:53-60 semantics:
         reduction='sum' ÷ batch)."""
         hs = self.dropout(hs, deterministic=deterministic)
-        logp = nn.log_softmax(self.ctc_lo(hs), axis=-1)
+        logp = nn.log_softmax(self.ctc_lo(hs).astype(jnp.float32), axis=-1)
         nll = self._nll(logp, ys, hlens, ylens)
         return nll.sum() / hs.shape[0]
 
     def log_softmax(self, hs: jnp.ndarray) -> jnp.ndarray:
-        return nn.log_softmax(self.ctc_lo(hs), axis=-1)
+        return nn.log_softmax(self.ctc_lo(hs).astype(jnp.float32), axis=-1)
 
     def argmax(self, hs: jnp.ndarray) -> jnp.ndarray:
         return jnp.argmax(self.log_softmax(hs), axis=-1)

@@ -51,6 +51,9 @@ class ASRModel(nn.Module):
     use_specaug: bool = False
     specaug_conf: Optional[Tuple[Tuple[str, Any], ...]] = None
     length_normalized_loss: bool = False
+    # compute dtype for the CTC projection head (encoder/decoder carry
+    # their own dtype); loss math stays f32
+    dtype: type = jnp.float32
 
     @property
     def sos(self) -> int:
@@ -62,7 +65,7 @@ class ASRModel(nn.Module):
 
     def setup(self):
         if self.ctc_weight > 0.0:
-            self.ctc = CTCHead(self.vocab_size)
+            self.ctc = CTCHead(self.vocab_size, dtype=self.dtype)
 
     def encode(
         self,
