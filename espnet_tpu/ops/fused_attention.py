@@ -6,9 +6,10 @@ matmul) used by MultiHeadedAttention / RelPositionMultiHeadedAttention
 training hot path. The (B, H, Tq, Tk) score/probability tensors never
 touch HBM:
 
-- forward: one grid cell per (batch, head); QK^T, additive bias
-  (rel-pos matrix_bd) and additive key mask, f32 softmax, and the
-  probs·V matmul all happen on a VMEM-resident (Tq, Tk) tile.
+- forward: one grid cell per batch row with a static unrolled head
+  loop; QK^T, additive bias (rel-pos matrix_bd) and additive key mask,
+  f32 softmax, and the probs·V matmul all happen on VMEM-resident
+  (Tq, Tk) tiles.
 - backward (jax.custom_vjp): recomputes the probabilities from the
   saved q/k/bias (flash-attention-style recompute — cheaper than
   storing them) and produces dq/dk/dv/dbias in the same fused cell.
@@ -18,10 +19,10 @@ contraction in layers/attention.py (an MXU einsum XLA handles well);
 the kernel owns only the score-space elementwise work, which is where
 the HBM round trips were.
 
-Layout note: Mosaic supports only leading-unit-dim squeezes on loads/
+Layout note: Mosaic supports only leading-dim squeezes on loads/
 stores, so the (B, T, H, D) model layout is transposed to (B, H, T, D)
-at the kernel boundary (one cheap XLA transpose each way) and blocks
-are (1, 1, T, D).
+at the kernel boundary (one cheap XLA transpose each way); blocks are
+(1, H, T, D) and heads are indexed at a leading position.
 
 Not used when attention dropout is active or attention maps are
 requested for plotting — callers fall back to the XLA path.
