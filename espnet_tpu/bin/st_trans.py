@@ -97,7 +97,11 @@ def run_translate(args, task: str):
 
     if args.text:
         refs = read_scp(args.text)
-        pairs = [(refs[k].split(), hyps[k].split()) for k in hyps if k in refs]
+        if args.bleu_tok == "13a":
+            from espnet_tpu.utils.metrics import tokenize_13a as _tok
+        else:
+            _tok = str.split
+        pairs = [(_tok(refs[k]), _tok(hyps[k])) for k in hyps if k in refs]
         score = bleu([r for r, _ in pairs], [h for _, h in pairs])
         summary = {"bleu": score, "num_utts": len(pairs)}
         (out / "summary.json").write_text(json.dumps(summary))
@@ -114,6 +118,8 @@ def main(argv=None, task="st"):
     parser.add_argument("--data", action="append", default=[],
                         help="path,name,type (speech for st; src_text for mt)")
     parser.add_argument("--text", default=None, help="reference target text")
+    parser.add_argument("--bleu_tok", default="none", choices=["none", "13a"],
+                        help="BLEU tokenization: none (pre-tokenized) or moses/mteval-13a")
     parser.add_argument("--config", required=True)
     parser.add_argument("--ckpt", required=True)
     parser.add_argument("--output_dir", required=True)

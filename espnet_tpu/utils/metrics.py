@@ -169,3 +169,29 @@ def bleu(refs, hyps, max_n: int = 4) -> float:
     hyp_len = sum(len(h) for h in hyps)
     bp = 1.0 if hyp_len > ref_len else math.exp(1 - ref_len / max(hyp_len, 1))
     return bp * math.exp(sum(log_precisions) / max_n)
+
+
+def tokenize_13a(text: str):
+    """mteval-v13a / sacrebleu "13a" international tokenization — the
+    convention the reference's multi-bleu/sacrebleu scoring applies to
+    detokenized MT/ST output (reference: utils/score_bleu.sh via moses).
+    Returns the token list for bleu()."""
+    import re
+
+    text = text.replace("<skipped>", "")
+    text = text.replace("-\n", "").replace("\n", " ")
+    text = (
+        text.replace("&quot;", '"')
+        .replace("&amp;", "&")
+        .replace("&lt;", "<")
+        .replace("&gt;", ">")
+    )
+    text = f" {text} "
+    # pad all non-alphanumeric-ish symbols
+    text = re.sub(r"([\{-\~\[-\` -\&\(-\+\:-\@\/])", r" \1 ", text)
+    # period/comma not adjacent to digits
+    text = re.sub(r"([^0-9])([\.,])", r"\1 \2 ", text)
+    text = re.sub(r"([\.,])([^0-9])", r" \1 \2", text)
+    # dash after a digit
+    text = re.sub(r"([0-9])(-)", r"\1 \2 ", text)
+    return text.split()

@@ -255,3 +255,14 @@ def test_f0_extraction_accuracy():
     # silence is unvoiced
     f0 = extract_f0(np.zeros(8000, np.float32), fs=fs)
     assert (f0 == 0).all()
+
+
+def test_tokenize_13a():
+    """moses/mteval-13a BLEU tokenization (sacrebleu '13a' parity cases)."""
+    from espnet_tpu.utils.metrics import tokenize_13a
+
+    assert tokenize_13a("Hello, world!") == ["Hello", ",", "world", "!"]
+    assert tokenize_13a("It costs 3.50 dollars (today).") == [
+        "It", "costs", "3.50", "dollars", "(", "today", ")", "."]
+    assert tokenize_13a("A 10-year-old boy &amp; dog.") == [
+        "A", "10", "-", "year-old", "boy", "&", "dog", "."]
