@@ -219,3 +219,31 @@ def test_feats_utils_pipeline(tmp_path):
             "--out_ark", tmp_path / "c.ark", "--out_scp", tmp_path / "c.scp")
     copied = load_scp_entry(list(read_scp(tmp_path / "c.scp").values())[0])
     np.testing.assert_allclose(copied, feats, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_enh_asr_train(data, tmp_path):
+    """Joint enhancement+ASR training from bash (reference
+    espnet2/tasks/enh_asr.py)."""
+    exp = tmp_path / "enh_asr"
+    run_cli(
+        "enh_asr_train",
+        "--train_data", f"{data}/mix.scp,speech_mix,sound",
+        "--train_data", f"{data}/s1.scp,speech_ref1,sound",
+        "--train_data", f"{data}/s2.scp,speech_ref2,sound",
+        "--train_data", f"{data}/src_text,text_spk1,text",
+        "--train_data", f"{data}/text,text_spk2,text",
+        "--valid_data", f"{data}/mix.scp,speech_mix,sound",
+        "--valid_data", f"{data}/s1.scp,speech_ref1,sound",
+        "--valid_data", f"{data}/s2.scp,speech_ref2,sound",
+        "--valid_data", f"{data}/src_text,text_spk1,text",
+        "--valid_data", f"{data}/text,text_spk2,text",
+        "--expdir", exp, "--max_epoch", 1, "--batch_size", 2,
+        "--token_list", f"{data}/tokens.txt",
+        "--separator_conf", '{"n_fft": 256, "hop_length": 128, "units": 8, "layers": 1}',
+        "--frontend_conf", '{"n_fft": 256, "hop_length": 128, "n_mels": 8}',
+        "--encoder_conf", '{"elayers": 1, "eunits": 8, "eprojs": 8}',
+        "--model_conf", '{"ctc_weight": 1.0}',
+    )
+    assert (exp / "latest.ckpt").exists()
+    assert (exp / "config.yaml").exists()
