@@ -34,7 +34,7 @@ def main():
     wav_out = Path(args.wav_out)
     wav_out.mkdir(parents=True, exist_ok=True)
 
-    scp, t1, t2 = [], [], []
+    scp, s1, s2, t1, t2 = [], [], [], [], []
     for i in range(n):
         a, b = uids[i], uids[(i + 1) % n]
         if a == b:
@@ -42,18 +42,31 @@ def main():
         _, xa = read_audio(wavs[a])
         _, xb = read_audio(wavs[b])
         length = max(len(xa), len(xb))
-        mix = np.zeros(length, np.float32)
-        mix[: len(xa)] += xa
-        mix[: len(xb)] += xb
+        ra = np.zeros(length, np.float32)
+        rb = np.zeros(length, np.float32)
+        ra[: len(xa)] = xa
+        rb[: len(xb)] = xb
+        mix = ra + rb
         mix *= 0.7 / max(np.abs(mix).max(), 1e-6)
         mid = f"mix_{a}_{b}"
         path = wav_out / f"{mid}.wav"
         write_wav(path, args.fs, mix)
+        # per-speaker padded references (SI-SNR targets for the joint
+        # enh_asr task — SI-SNR is scale-invariant, so the mix gain does
+        # not need to be applied to them)
+        pa = wav_out / f"{mid}.spk1.wav"
+        pb = wav_out / f"{mid}.spk2.wav"
+        write_wav(pa, args.fs, ra)
+        write_wav(pb, args.fs, rb)
         scp.append(f"{mid} {path.resolve()}")
+        s1.append(f"{mid} {pa.resolve()}")
+        s2.append(f"{mid} {pb.resolve()}")
         t1.append(f"{mid} {texts[a]}")
         t2.append(f"{mid} {texts[b]}")
 
     (out / "wav.scp").write_text("\n".join(scp) + "\n")
+    (out / "spk1.scp").write_text("\n".join(s1) + "\n")
+    (out / "spk2.scp").write_text("\n".join(s2) + "\n")
     (out / "text_spk1").write_text("\n".join(t1) + "\n")
     (out / "text_spk2").write_text("\n".join(t2) + "\n")
     # perm-free scoring reference: <uid>_spk<N> convention

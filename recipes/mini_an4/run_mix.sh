@@ -66,3 +66,29 @@ if [ $stage -le 3 ] && [ $stop_stage -ge 3 ]; then
     cat $expdir/asr_mix/decode_$rtask/summary.json; echo
   done
 fi
+
+if [ $stage -le 4 ] && [ $stop_stage -ge 4 ]; then
+  echo "=== stage 4: joint enhancement+ASR training (espnet_joint_model parity)"
+  python -m espnet_tpu.bin.enh_asr_train \
+    --train_data $datadir/train_mix/wav.scp,speech_mix,sound \
+    --train_data $datadir/train_mix/spk1.scp,speech_ref1,sound \
+    --train_data $datadir/train_mix/spk2.scp,speech_ref2,sound \
+    --train_data $datadir/train_mix/text_spk1,text_spk1,text \
+    --train_data $datadir/train_mix/text_spk2,text_spk2,text \
+    --valid_data $datadir/train_mix/wav.scp,speech_mix,sound \
+    --valid_data $datadir/train_mix/spk1.scp,speech_ref1,sound \
+    --valid_data $datadir/train_mix/spk2.scp,speech_ref2,sound \
+    --valid_data $datadir/train_mix/text_spk1,text_spk1,text \
+    --valid_data $datadir/train_mix/text_spk2,text_spk2,text \
+    --token_list $tokens --expdir $expdir/enh_asr \
+    --config conf/train_enh_asr.yaml
+  python - <<'PY'
+import json, re
+from pathlib import Path
+log = (Path("exp/enh_asr") / "report.json")
+if log.exists():
+    rep = json.loads(log.read_text())
+    last = rep[-1] if isinstance(rep, list) else rep
+    print("enh_asr final epoch stats:", json.dumps(last)[:400])
+PY
+fi
