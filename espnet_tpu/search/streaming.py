@@ -18,11 +18,25 @@ import numpy as np
 from espnet_tpu.search.greedy import ctc_greedy_decode_host
 
 
+def _pad_frames(buf: np.ndarray, pad_to: int) -> np.ndarray:
+    """Pad the frame axis up to a multiple of pad_to: the growing window
+    then hits O(maxlen/pad_to) distinct shapes instead of one per hop, so
+    the jitted encoder compiles a handful of bucketed programs and reuses
+    them (a growing unpadded window would recompile EVERY hop — ruinous
+    with TPU remote compiles)."""
+    t = buf.shape[0]
+    t_pad = (t + pad_to - 1) // pad_to * pad_to
+    if t_pad == t:
+        return buf
+    return np.pad(buf, ((0, t_pad - t), (0, 0)))
+
+
 class WindowStreamingASR:
-    def __init__(self, model, variables, hop_frames: int = 16):
+    def __init__(self, model, variables, hop_frames: int = 16, pad_to: int = 64):
         self.model = model
         self.variables = variables
         self.hop = hop_frames
+        self.pad_to = pad_to
         self.buf: Optional[np.ndarray] = None
         self._enc = jax.jit(
             lambda s, l: model.apply(variables, s, l, method="encode")
@@ -32,7 +46,7 @@ class WindowStreamingASR:
     def accept_input(self, frames: np.ndarray) -> List[int]:
         """frames: (t, D) new feature frames → current hypothesis ids."""
         self.buf = frames if self.buf is None else np.concatenate([self.buf, frames])
-        speech = jnp.asarray(self.buf[None])
+        speech = jnp.asarray(_pad_frames(self.buf, self.pad_to)[None])
         lens = jnp.array([self.buf.shape[0]])
         hs, hlens = self._enc(speech, lens)
         logp = self._ctc(hs)
@@ -47,11 +61,13 @@ class SegmentStreamingASR:
         decode_fn: Optional[Callable[[np.ndarray], List[int]]] = None,
         min_blank_dur: int = 4,
         min_speech_frames: int = 4,
+        pad_to: int = 64,
     ):
         self.model = model
         self.variables = variables
         self.min_blank = min_blank_dur
         self.min_speech = min_speech_frames
+        self.pad_to = pad_to
         self.buf: Optional[np.ndarray] = None
         self.decode_fn = decode_fn
         self._enc = jax.jit(
@@ -60,7 +76,10 @@ class SegmentStreamingASR:
         self._ctc = jax.jit(lambda h: model.apply(variables, h, method="ctc_log_softmax"))
 
     def _greedy_path(self, frames: np.ndarray) -> np.ndarray:
-        hs, hlens = self._enc(jnp.asarray(frames[None]), jnp.array([frames.shape[0]]))
+        padded = _pad_frames(frames, self.pad_to)
+        hs, hlens = self._enc(
+            jnp.asarray(padded[None]), jnp.array([frames.shape[0]])
+        )
         logp = self._ctc(hs)
         return np.argmax(np.asarray(logp)[0, : int(hlens[0])], axis=-1)
 
