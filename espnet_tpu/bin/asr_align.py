@@ -6,7 +6,6 @@ segments with confidence.
 from __future__ import annotations
 
 import argparse
-import json
 import logging
 import sys
 from pathlib import Path

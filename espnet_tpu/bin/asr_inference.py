@@ -6,10 +6,7 @@ and converts ids → tokens → text.
 """
 from __future__ import annotations
 
-import argparse
-import json
 import logging
-from pathlib import Path
 from typing import List, Optional, Sequence, Tuple
 
 import jax

@@ -9,7 +9,6 @@ shuffling (sequence_iter_factory.py:27).
 """
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Callable, Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np

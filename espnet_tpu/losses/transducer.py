@@ -16,7 +16,6 @@ the convenience path.
 """
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,10 +16,8 @@ threads its transition-agent probability through the state pytree.
 """
 from __future__ import annotations
 
-from typing import Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from espnet_tpu.utils.masks import make_non_pad_mask

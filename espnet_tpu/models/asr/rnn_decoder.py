@@ -8,7 +8,7 @@ and (from the beam-search side) single-step scoring with explicit state.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

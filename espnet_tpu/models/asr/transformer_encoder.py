@@ -6,7 +6,6 @@ valid lengths flow alongside as `olens` and masking is boolean.
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

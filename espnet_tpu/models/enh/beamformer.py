@@ -9,10 +9,9 @@ all MXU/XLA friendly, no torch_complex needed.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from espnet_tpu.utils.masks import make_non_pad_mask

@@ -13,7 +13,6 @@ import itertools
 from typing import Dict, List, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from espnet_tpu.ops.griffin_lim import istft

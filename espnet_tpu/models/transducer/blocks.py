@@ -21,7 +21,6 @@ from __future__ import annotations
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from espnet_tpu.layers.attention import MultiHeadedAttention

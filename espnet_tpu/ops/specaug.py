@@ -13,7 +13,6 @@ interpolation), which is the standard jittable formulation.
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

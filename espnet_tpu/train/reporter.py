@@ -5,7 +5,6 @@ stopping, optional tensorboard + matplotlib plots.
 from __future__ import annotations
 
 import json
-import logging
 import time
 from collections import defaultdict
 from pathlib import Path
