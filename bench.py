@@ -202,6 +202,67 @@ def bench_rnnt_kernel():
     return ts / tp
 
 
+def bench_lm_train():
+    """Transformer-LM training throughput, tokens/s/chip (reference
+    lm_transformer.yaml scale: 16 layers, d=512, ff=2048, h=8)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from espnet_tpu.models.lm.models import TransformerLM, lm_nll
+    from espnet_tpu.train.optimizers import build_optimizer
+    from espnet_tpu.utils.timing import force
+
+    vocab, b, l = 5000, 64, 128
+    model = TransformerLM(
+        vocab, attention_dim=512, attention_heads=8, linear_units=2048,
+        num_blocks=16, dtype=jnp.bfloat16,
+    )
+    rng = np.random.RandomState(0)
+    tokens = jnp.asarray(rng.randint(1, vocab, size=(b, l)).astype(np.int32))
+    lens = jnp.asarray(np.full(b, l, np.int32))
+    variables = model.init(jax.random.PRNGKey(0), tokens, lens)
+
+    import optax
+
+    tx = build_optimizer("adam", lr=1e-4)
+
+    def loss_fn(params, batch, rngs):
+        logits = model.apply(
+            {"params": params}, batch["tokens"], batch["lengths"],
+            deterministic=False, rngs=rngs,
+        )
+        nll, n_tok = lm_nll(logits[:, :-1], batch["tokens"][:, 1:], batch["lengths"] - 1)
+        return nll / jnp.maximum(n_tok, 1), {}
+
+    opt_state = tx.init(variables["params"])
+    state = {"params": variables["params"], "opt": opt_state}
+    batch = {"tokens": tokens, "lengths": lens}
+
+    @jax.jit
+    def step(state, batch, key):
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, batch, {"dropout": key}), has_aux=True
+        )(state["params"])
+        updates, opt = tx.update(grads, state["opt"], state["params"])
+        return {
+            "params": optax.apply_updates(state["params"], updates), "opt": opt
+        }, loss
+
+    key = jax.random.PRNGKey(1)
+    state, loss = step(state, batch, key)
+    force(loss)
+    import time
+
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, loss = step(state, batch, key)
+    force(loss)
+    dt = (time.perf_counter() - t0) / n
+    return b * l / dt
+
+
 def main():
     import jax
 
@@ -230,6 +291,10 @@ def main():
             extra["rnnt_pallas_fwdbwd_speedup"] = round(sp, 2)
     except Exception as e:
         extra["rnnt_kernel_error"] = str(e)[:100]
+    try:
+        extra["lm_train_tokens_per_s_per_chip"] = round(bench_lm_train(), 0)
+    except Exception as e:
+        extra["lm_train_error"] = str(e)[:100]
 
     print(
         json.dumps(

@@ -79,6 +79,7 @@ class TransformerLM(nn.Module):
     linear_units: int = 1024
     num_blocks: int = 4
     dropout_rate: float = 0.1
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(
@@ -88,7 +89,7 @@ class TransformerLM(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         b, l = tokens.shape
-        x = nn.Embed(self.vocab_size, self.attention_dim)(tokens)
+        x = nn.Embed(self.vocab_size, self.attention_dim, dtype=self.dtype)(tokens)
         x = PositionalEncoding(self.attention_dim, self.dropout_rate)(
             x, deterministic=deterministic
         )
@@ -97,19 +98,19 @@ class TransformerLM(nn.Module):
             mask = mask & make_non_pad_mask(lengths, l)[:, None, :]
         for _ in range(self.num_blocks):
             residual = x
-            h = nn.LayerNorm()(x)
-            h = MultiHeadedAttention(self.attention_heads, self.attention_dim)(
-                h, h, h, mask, deterministic=deterministic
-            )
+            h = nn.LayerNorm(dtype=self.dtype)(x)
+            h = MultiHeadedAttention(
+                self.attention_heads, self.attention_dim, dtype=self.dtype
+            )(h, h, h, mask, deterministic=deterministic)
             x = residual + nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
             residual = x
-            h = nn.LayerNorm()(x)
-            h = PositionwiseFeedForward(self.linear_units, self.dropout_rate)(
-                h, deterministic=deterministic
-            )
+            h = nn.LayerNorm(dtype=self.dtype)(x)
+            h = PositionwiseFeedForward(
+                self.linear_units, self.dropout_rate, dtype=self.dtype
+            )(h, deterministic=deterministic)
             x = residual + nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        x = nn.LayerNorm()(x)
-        return nn.Dense(self.vocab_size)(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        return nn.Dense(self.vocab_size)(x.astype(jnp.float32))
 
     def score_prefix(self, yseq: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
         """Next-token log-probs after yseq[:, :pos+1] → (N, V)."""

@@ -67,4 +67,22 @@ def main(beam_size=10, batch=8, t_frames=512, maxlen=48):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--beam_size", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--t_frames", type=int, default=512)
+    ap.add_argument("--maxlen", type=int, default=48)
+    ap.add_argument(
+        "--sweep", action="store_true",
+        help="sweep (batch, beam) grid instead of a single point",
+    )
+    args = ap.parse_args()
+    if args.sweep:
+        for batch, beam in [(8, 10), (32, 10), (32, 20), (64, 10)]:
+            main(beam_size=beam, batch=batch, t_frames=args.t_frames,
+                 maxlen=args.maxlen)
+    else:
+        main(beam_size=args.beam_size, batch=args.batch,
+             t_frames=args.t_frames, maxlen=args.maxlen)
