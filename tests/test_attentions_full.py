@@ -88,6 +88,7 @@ def test_forward_ta_transition_prob_updates():
     assert a[:, :3].sum(-1).min() > 0.5
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("atype", ["forward", "forward_ta"])
 def test_tacotron2_with_selectable_attention(atype):
     """Tacotron2 trains and synthesizes with forward/forward_ta attention

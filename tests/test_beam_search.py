@@ -80,6 +80,7 @@ def test_beam_matches_exhaustive_attention_only():
     np.testing.assert_allclose(float(scores[0, 0]), expect_score, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_beam_matches_exhaustive_joint_ctc():
     model, dec, dec_vars, hs, hlens, ctc_logp = _setup(seed=3, ctc_weight=0.5)
     att_fn = _att_logp_fn(dec, dec_vars, hs, hlens)

@@ -6,6 +6,7 @@ text_ref i must be the one PIT matched to speech_ref i)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import flax.linen as nn
 
 from espnet_tpu.models.asr import ASRModel, RNNEncoder
@@ -37,6 +38,7 @@ class _SwapSeparator(nn.Module):
         return [r1, r0], lengths
 
 
+@pytest.mark.slow
 def test_enh_asr_forward_backward():
     rng = np.random.RandomState(0)
     b, n, u, vocab = 2, 800, 5, 11

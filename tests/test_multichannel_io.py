@@ -119,6 +119,7 @@ def test_dataset_hdf5_types(tmp_path):
     assert ds["utt1"]["speech"].shape == (400,)
 
 
+@pytest.mark.slow
 def test_beamformer_frontend_asr_end_to_end():
     """Multi-channel synthetic decode through WPE→MVDR→fbank in-graph
     (VERDICT r1 item 9 done-criterion)."""

@@ -72,6 +72,7 @@ def test_transformer_prediction_net_step_matches_batch():
         )
 
 
+@pytest.mark.slow
 def test_transducer_model_transformer_pred_end_to_end():
     from espnet_tpu.models.asr import RNNEncoder
     from espnet_tpu.search.transducer import transducer_greedy_decode
