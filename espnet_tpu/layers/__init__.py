@@ -7,10 +7,19 @@ from espnet_tpu.layers.attention import (
     MultiHeadedAttention,
     RelPositionMultiHeadedAttention,
 )
-from espnet_tpu.layers.feed_forward import PositionwiseFeedForward
+from espnet_tpu.layers.feed_forward import (
+    Conv1dLinear,
+    MultiLayeredConv1d,
+    PositionwiseFeedForward,
+)
 from espnet_tpu.layers.subsampling import Conv2dSubsampling
 from espnet_tpu.layers.convolution import ConformerConvModule
-from espnet_tpu.layers.lightconv import DynamicConvolution, LightweightConvolution
+from espnet_tpu.layers.lightconv import (
+    DynamicConvolution,
+    DynamicConvolution2D,
+    LightweightConvolution,
+    LightweightConvolution2D,
+)
 from espnet_tpu.layers.tacotron_extras import CBHG, ZoneOutLSTMCell
 
 __all__ = [
@@ -23,7 +32,11 @@ __all__ = [
     "Conv2dSubsampling",
     "ConformerConvModule",
     "LightweightConvolution",
+    "LightweightConvolution2D",
     "DynamicConvolution",
+    "DynamicConvolution2D",
+    "MultiLayeredConv1d",
+    "Conv1dLinear",
     "ZoneOutLSTMCell",
     "CBHG",
 ]

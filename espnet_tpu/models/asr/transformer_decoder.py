@@ -34,19 +34,47 @@ class TransformerDecoderLayer(nn.Module):
     self_attention_dropout_rate: float = 0.0
     src_attention_dropout_rate: float = 0.0
     normalize_before: bool = True
+    # selfattn | lightconv | lightconv2d | dynamicconv | dynamicconv2d
+    # (reference --transformer-decoder-selfattn-layer-type; conv variants
+    # use the causal kernel mask, lightconv.py use_kernel_mask=True)
+    selfattn_layer_type: str = "selfattn"
+    conv_wshare: int = 4
+    conv_kernel_size: int = 15
+    conv_usebias: bool = False
+    positionwise_layer_type: str = "linear"
+    positionwise_conv_kernel_size: int = 3
     dtype: type = jnp.float32
 
     def setup(self):
-        self.self_attn = MultiHeadedAttention(
-            self.attention_heads, self.attention_dim,
-            self.self_attention_dropout_rate, dtype=self.dtype,
-        )
+        if self.selfattn_layer_type == "selfattn":
+            self.self_attn = MultiHeadedAttention(
+                self.attention_heads, self.attention_dim,
+                self.self_attention_dropout_rate, dtype=self.dtype,
+            )
+        else:
+            from espnet_tpu.layers.lightconv import conv_attention_for
+
+            self.self_attn = conv_attention_for(
+                self.selfattn_layer_type,
+                wshare=self.conv_wshare,
+                kernel_size=self.conv_kernel_size,
+                dropout_rate=self.self_attention_dropout_rate,
+                use_bias=self.conv_usebias,
+                causal=True,
+                dtype=self.dtype,
+            )
         self.src_attn = MultiHeadedAttention(
             self.attention_heads, self.attention_dim,
             self.src_attention_dropout_rate, dtype=self.dtype,
         )
-        self.feed_forward = PositionwiseFeedForward(
-            self.linear_units, self.dropout_rate, dtype=self.dtype
+        from espnet_tpu.layers.feed_forward import positionwise_layer_for
+
+        self.feed_forward = positionwise_layer_for(
+            self.positionwise_layer_type,
+            self.linear_units,
+            self.dropout_rate,
+            kernel_size=self.positionwise_conv_kernel_size,
+            dtype=self.dtype,
         )
         self.norm1 = nn.LayerNorm(dtype=self.dtype)
         self.norm2 = nn.LayerNorm(dtype=self.dtype)
@@ -90,6 +118,11 @@ class TransformerDecoderLayer(nn.Module):
         x_t: (N, 1, D); cache_k/v: (N, Lmax, H, Dk); pos: (N,) current
         index. Returns (y_t, new_cache_k, new_cache_v).
         """
+        if self.selfattn_layer_type != "selfattn":
+            raise NotImplementedError(
+                "KV-cached one-step decode requires selfattn; conv-attention "
+                "decoders decode via score_prefix (full-prefix recompute)"
+            )
         n, lmax, h, dk = cache_k.shape
         att = self.self_attn
 
@@ -141,9 +174,17 @@ class TransformerDecoder(nn.Module):
     src_attention_dropout_rate: float = 0.0
     normalize_before: bool = True
     causal: bool = True  # False = CMLM-style bidirectional (Mask-CTC)
+    selfattn_layer_type: str = "selfattn"
+    conv_wshare: int = 4
+    conv_kernel_length: object = None  # int or "11_13_15" per-layer string
+    conv_usebias: bool = False
+    positionwise_layer_type: str = "linear"
+    positionwise_conv_kernel_size: int = 3
     dtype: type = jnp.float32
 
     def setup(self):
+        from espnet_tpu.layers.lightconv import parse_kernel_length
+
         self.embed = nn.Embed(self.vocab_size, self.attention_dim)
         self.pos_enc = PositionalEncoding(
             self.attention_dim, self.positional_dropout_rate
@@ -157,9 +198,17 @@ class TransformerDecoder(nn.Module):
                 self.self_attention_dropout_rate,
                 self.src_attention_dropout_rate,
                 self.normalize_before,
+                selfattn_layer_type=self.selfattn_layer_type,
+                conv_wshare=self.conv_wshare,
+                conv_kernel_size=parse_kernel_length(
+                    self.conv_kernel_length, lnum
+                ),
+                conv_usebias=self.conv_usebias,
+                positionwise_layer_type=self.positionwise_layer_type,
+                positionwise_conv_kernel_size=self.positionwise_conv_kernel_size,
                 dtype=self.dtype,
             )
-            for _ in range(self.num_blocks)
+            for lnum in range(self.num_blocks)
         ]
         self.final_norm = nn.LayerNorm(dtype=self.dtype)
         self.output = nn.Dense(self.vocab_size)

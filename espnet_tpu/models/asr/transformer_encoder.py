@@ -12,7 +12,8 @@ import jax.numpy as jnp
 
 from espnet_tpu.layers.attention import MultiHeadedAttention
 from espnet_tpu.layers.embedding import PositionalEncoding
-from espnet_tpu.layers.feed_forward import PositionwiseFeedForward
+from espnet_tpu.layers.feed_forward import positionwise_layer_for
+from espnet_tpu.layers.lightconv import conv_attention_for
 from espnet_tpu.layers.subsampling import Conv2dSubsampling
 from espnet_tpu.utils.masks import make_non_pad_mask
 
@@ -24,6 +25,14 @@ class TransformerEncoderLayer(nn.Module):
     dropout_rate: float = 0.1
     attention_dropout_rate: float = 0.0
     normalize_before: bool = True
+    # selfattn | lightconv | lightconv2d | dynamicconv | dynamicconv2d
+    # (reference e2e_asr_transformer.py --transformer-encoder-selfattn-layer-type)
+    selfattn_layer_type: str = "selfattn"
+    conv_wshare: int = 4
+    conv_kernel_size: int = 15
+    conv_usebias: bool = False
+    positionwise_layer_type: str = "linear"  # linear | conv1d | conv1d-linear
+    positionwise_conv_kernel_size: int = 3
     dtype: type = jnp.float32
 
     @nn.compact
@@ -32,10 +41,21 @@ class TransformerEncoderLayer(nn.Module):
         residual = x
         if self.normalize_before:
             x = nn.LayerNorm(dtype=self.dtype)(x)
-        x = MultiHeadedAttention(
-            self.attention_heads, self.attention_dim, self.attention_dropout_rate,
-            dtype=self.dtype,
-        )(x, x, x, mask, deterministic=deterministic)
+        if self.selfattn_layer_type == "selfattn":
+            attn = MultiHeadedAttention(
+                self.attention_heads, self.attention_dim,
+                self.attention_dropout_rate, dtype=self.dtype,
+            )
+        else:
+            attn = conv_attention_for(
+                self.selfattn_layer_type,
+                wshare=self.conv_wshare,
+                kernel_size=self.conv_kernel_size,
+                dropout_rate=self.attention_dropout_rate,
+                use_bias=self.conv_usebias,
+                dtype=self.dtype,
+            )
+        x = attn(x, x, x, mask, deterministic=deterministic)
         x = residual + drop(x, deterministic=deterministic)
         if not self.normalize_before:
             x = nn.LayerNorm(dtype=self.dtype)(x)
@@ -43,8 +63,12 @@ class TransformerEncoderLayer(nn.Module):
         residual = x
         if self.normalize_before:
             x = nn.LayerNorm(dtype=self.dtype)(x)
-        x = PositionwiseFeedForward(
-            self.linear_units, self.dropout_rate, dtype=self.dtype
+        x = positionwise_layer_for(
+            self.positionwise_layer_type,
+            self.linear_units,
+            self.dropout_rate,
+            kernel_size=self.positionwise_conv_kernel_size,
+            dtype=self.dtype,
         )(x, deterministic=deterministic)
         x = residual + drop(x, deterministic=deterministic)
         if not self.normalize_before:
@@ -63,6 +87,13 @@ class TransformerEncoder(nn.Module):
     input_layer: str = "conv2d"  # conv2d | conv2d6 | conv2d8 | linear | embed
     normalize_before: bool = True
     vocab_size: int = 0  # required for input_layer == "embed"
+    selfattn_layer_type: str = "selfattn"
+    conv_wshare: int = 4
+    # int or per-layer "11_13_15" string (reference --ldconv-encoder-kernel-length)
+    conv_kernel_length: object = None
+    conv_usebias: bool = False
+    positionwise_layer_type: str = "linear"
+    positionwise_conv_kernel_size: int = 3
     dtype: type = jnp.float32
 
     @nn.compact
@@ -95,7 +126,9 @@ class TransformerEncoder(nn.Module):
             xs, deterministic=deterministic
         )
         mask = make_non_pad_mask(olens, xs.shape[1])[:, None, :]  # (B,1,T)
-        for _ in range(self.num_blocks):
+        from espnet_tpu.layers.lightconv import parse_kernel_length
+
+        for lnum in range(self.num_blocks):
             xs = TransformerEncoderLayer(
                 self.attention_dim,
                 self.attention_heads,
@@ -103,6 +136,14 @@ class TransformerEncoder(nn.Module):
                 self.dropout_rate,
                 self.attention_dropout_rate,
                 self.normalize_before,
+                selfattn_layer_type=self.selfattn_layer_type,
+                conv_wshare=self.conv_wshare,
+                conv_kernel_size=parse_kernel_length(
+                    self.conv_kernel_length, lnum
+                ),
+                conv_usebias=self.conv_usebias,
+                positionwise_layer_type=self.positionwise_layer_type,
+                positionwise_conv_kernel_size=self.positionwise_conv_kernel_size,
                 dtype=self.dtype,
             )(xs, mask, deterministic=deterministic)
         if self.normalize_before:
