@@ -42,6 +42,19 @@ def main(argv=None):
         action="store_true",
         help="also compute STOI intelligibility (needs sample rate from wavs)",
     )
+    parser.add_argument(
+        "--bss_eval",
+        action="store_true",
+        help="also compute BSS Eval SDR/SIR/SAR (own bss_eval_sources, "
+        "replacing the reference's mir_eval dependency; uses BSS Eval's "
+        "own max-SIR permutation)",
+    )
+    parser.add_argument(
+        "--bss_eval_flen",
+        type=int,
+        default=512,
+        help="distortion-filter length for BSS Eval projections",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -56,6 +69,8 @@ def main(argv=None):
     totals = {"si_snr": 0.0, "sdr": 0.0}
     if args.stoi:
         totals["stoi"] = 0.0
+    if args.bss_eval:
+        totals.update({"bss_sdr": 0.0, "bss_sir": 0.0, "bss_sar": 0.0})
     n = 0
     per_utt = {}
     for uid in refs[0]:
@@ -83,6 +98,20 @@ def main(argv=None):
             )
             per_utt[uid]["stoi"] = stoi_v
             totals["stoi"] += stoi_v
+        if args.bss_eval:
+            from espnet_tpu.utils.bss_eval import bss_eval_sources
+
+            b_sdr, b_sir, b_sar, _ = bss_eval_sources(
+                np.stack(r), np.stack(e), flen=args.bss_eval_flen
+            )
+            per_utt[uid].update(
+                bss_sdr=float(b_sdr.mean()),
+                bss_sir=float(b_sir.mean()),
+                bss_sar=float(b_sar.mean()),
+            )
+            totals["bss_sdr"] += float(b_sdr.mean())
+            totals["bss_sir"] += float(b_sir.mean())
+            totals["bss_sar"] += float(b_sar.mean())
         totals["si_snr"] += score
         totals["sdr"] += sdr_v
         n += 1

@@ -163,8 +163,12 @@ def test_enh_scoring_cli(tmp_path):
         "--ref_scp", str(tmp_path / "ref1.scp"), str(tmp_path / "ref2.scp"),
         "--est_scp", str(tmp_path / "est1.scp"), str(tmp_path / "est2.scp"),
         "--output_dir", str(tmp_path / "score"),
+        "--bss_eval", "--bss_eval_flen", "64",
     ])
     assert summary["si_snr"] > 20, summary
+    # BSS Eval agrees: near-clean swapped estimates → high SDR/SIR/SAR
+    assert summary["bss_sdr"] > 20 and summary["bss_sir"] > 20, summary
+    assert summary["bss_sar"] > 20, summary
 
 
 def test_enh_task_train(tmp_path):
