@@ -21,6 +21,7 @@ from espnet_tpu.parallel.distributed import init_distributed_and_mesh
 from espnet_tpu.utils.config import load_yaml, save_yaml
 
 DEFAULT_CONFIG: Dict[str, Any] = {
+    "vc_model": "tacotron2",  # tacotron2 | transformer (VTN)
     "vc_conf": {},
     "feats_extract_conf": {"fs": 16000, "n_fft": 1024, "hop_length": 256,
                            "n_mels": 80, "fmin": 80.0, "fmax": 7600.0},
@@ -83,7 +84,19 @@ class VCTaskModel(nn.Module):
 def build_vc_model(config: Dict[str, Any]) -> VCTaskModel:
     fc = config.get("feats_extract_conf", {})
     n_mels = fc.get("n_mels", 80)
-    vc = VCTacotron2(idim=n_mels, n_mels=n_mels, **config.get("vc_conf", {}))
+    # vc_model: tacotron2 (default, e2e_vc_tacotron2.py) |
+    #           transformer (Voice Transformer Network, e2e_vc_transformer.py)
+    kind = config.get("vc_model", "tacotron2")
+    if kind == "transformer":
+        from espnet_tpu.models.tts.vc_transformer import VCTransformer
+
+        vc = VCTransformer(
+            idim=n_mels, n_mels=n_mels, **config.get("vc_conf", {})
+        )
+    elif kind == "tacotron2":
+        vc = VCTacotron2(idim=n_mels, n_mels=n_mels, **config.get("vc_conf", {}))
+    else:
+        raise ValueError(f"unknown vc_model {kind}")
     return VCTaskModel(
         vc=vc, feats_conf=tuple(sorted(fc.items())), n_mels=n_mels
     )
