@@ -43,6 +43,13 @@ def main(argv=None):
         help="also compute STOI intelligibility (needs sample rate from wavs)",
     )
     parser.add_argument(
+        "--pesq",
+        action="store_true",
+        help="also compute the P.862-style perceptual quality score "
+        "(own implementation, utils/pesq.py; relative measure, not "
+        "ITU-certified)",
+    )
+    parser.add_argument(
         "--bss_eval",
         action="store_true",
         help="also compute BSS Eval SDR/SIR/SAR (own bss_eval_sources, "
@@ -71,6 +78,8 @@ def main(argv=None):
         totals["stoi"] = 0.0
     if args.bss_eval:
         totals.update({"bss_sdr": 0.0, "bss_sir": 0.0, "bss_sar": 0.0})
+    if args.pesq:
+        totals["pesq"] = 0.0
     n = 0
     per_utt = {}
     for uid in refs[0]:
@@ -98,6 +107,17 @@ def main(argv=None):
             )
             per_utt[uid]["stoi"] = stoi_v
             totals["stoi"] += stoi_v
+        if args.pesq:
+            from espnet_tpu.utils.pesq import pesq as pesq_fn
+
+            fs_p = rates[0] if rates[0] in (8000, 16000) else 16000
+            pesq_v = float(
+                np.mean(
+                    [pesq_fn(r[p], e[i], fs_p) for i, p in enumerate(perm)]
+                )
+            )
+            per_utt[uid]["pesq"] = pesq_v
+            totals["pesq"] += pesq_v
         if args.bss_eval:
             from espnet_tpu.utils.bss_eval import bss_eval_sources
 
