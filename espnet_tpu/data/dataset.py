@@ -232,3 +232,53 @@ class ChunkIterFactory:
                 len(group), L, dtype=np.int32
             )
             yield out
+
+
+class MultipleIterFactory:
+    """Corpus-split iterator (reference: espnet2/iterators/
+    multiple_iter_factory.py): the utterance set is partitioned into
+    `num_splits` groups and each epoch streams the splits one after
+    another, building the inner SequenceIterFactory per split on demand —
+    bounds host memory on corpora too large to batch-plan at once.
+
+    Split ORDER is shuffled epoch-seeded (like the reference's
+    shuffled split files); batching inside a split is delegated to
+    SequenceIterFactory with a per-(epoch, split) seed so every epoch
+    sees a fresh batch order while remaining reproducible.
+    """
+
+    def __init__(
+        self,
+        dataset: ESPnetDataset,
+        shapes: Dict[str, Sequence[int]],
+        num_splits: int = 2,
+        seed: int = 0,
+        shuffle: bool = True,
+        **iter_kwargs,
+    ):
+        self.dataset = dataset
+        self.shapes = shapes
+        self.num_splits = max(int(num_splits), 1)
+        self.seed = seed
+        self.shuffle = shuffle
+        self.iter_kwargs = iter_kwargs
+
+    def __call__(self, epoch: int) -> Iterable[Dict[str, np.ndarray]]:
+        keys = sorted(self.shapes.keys())
+        n = self.num_splits
+        splits = [keys[i::n] for i in range(n)]
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(order)
+        for rank, si in enumerate(order):
+            if not splits[si]:
+                continue
+            sub_shapes = {k: self.shapes[k] for k in splits[si]}
+            sub = SequenceIterFactory(
+                self.dataset,
+                sub_shapes,
+                seed=self.seed + 1000 * (si + 1),
+                shuffle=self.shuffle,
+                **self.iter_kwargs,
+            )
+            yield from sub(epoch)

@@ -251,3 +251,36 @@ def test_filter_by_length():
     # no bounds → identity
     kept3, n3 = filter_by_length(shapes)
     assert kept3 == shapes and n3 == 0
+
+
+def test_multiple_iter_factory(tmp_path):
+    """Corpus-split iterator: covers every utterance exactly once per
+    epoch, split order reshuffles per epoch, fully reproducible."""
+    from espnet_tpu.data.dataset import MultipleIterFactory, ESPnetDataset
+    from espnet_tpu.data.kaldi_io import write_scp
+    from espnet_tpu.data.wav import write_wav
+
+    rng = np.random.RandomState(1)
+    scp, shapes, texts = {}, {}, {}
+    for i in range(9):
+        n = 800 + 50 * i
+        p = tmp_path / f"u{i}.wav"
+        write_wav(p, 8000, rng.randn(n).astype(np.float32) * 0.1)
+        scp[f"u{i}"] = str(p)
+        shapes[f"u{i}"] = (n,)
+    write_scp(tmp_path / "wav.scp", scp)
+    ds = ESPnetDataset([(str(tmp_path / "wav.scp"), "speech", "sound")])
+    it = MultipleIterFactory(ds, shapes, num_splits=3, batch_size=2, seed=5)
+
+    def epoch_lens(ep):
+        out = []
+        for b in it(ep):
+            out.extend(int(x) for x in b["speech_lengths"])
+        return out
+
+    lens1 = epoch_lens(1)
+    assert sorted(lens1) == sorted(int(s[0]) for s in shapes.values())
+    # reproducible
+    assert epoch_lens(1) == lens1
+    # different epoch → different order (split rotation + batch shuffle)
+    assert epoch_lens(2) != lens1
