@@ -98,6 +98,8 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "batch_bins": None,
     "batch_mode": "seq",
     "sortagrad": False,
+    # >1 = corpus-split epoch streaming (MultipleIterFactory)
+    "num_splits": None,
     # length filtering (≙ remove_longshortdata.sh); None = no bound
     "min_frames": None,
     "max_frames": None,
@@ -403,16 +405,34 @@ def train(
                 "every training utterance — loosen the bounds"
             )
 
-    train_iter = SequenceIterFactory(
-        train_ds,
-        shapes,
-        batch_size=config.get("batch_size", 16),
-        batch_bins=config.get("batch_bins"),
-        mode=config.get("batch_mode", "seq"),
-        seed=config.get("seed", 0),
-        sortagrad=config.get("sortagrad", False),
-        collate=collate,
-    )
+    num_splits = int(config.get("num_splits") or 1)
+    if num_splits > 1:
+        # corpus-split streaming for very large manifests
+        # (reference abs_task.py:1567 build_multiple_iter_factory)
+        from espnet_tpu.data.dataset import MultipleIterFactory
+
+        train_iter = MultipleIterFactory(
+            train_ds,
+            shapes,
+            num_splits=num_splits,
+            batch_size=config.get("batch_size", 16),
+            batch_bins=config.get("batch_bins"),
+            mode=config.get("batch_mode", "seq"),
+            seed=config.get("seed", 0),
+            sortagrad=config.get("sortagrad", False),
+            collate=collate,
+        )
+    else:
+        train_iter = SequenceIterFactory(
+            train_ds,
+            shapes,
+            batch_size=config.get("batch_size", 16),
+            batch_bins=config.get("batch_bins"),
+            mode=config.get("batch_mode", "seq"),
+            seed=config.get("seed", 0),
+            sortagrad=config.get("sortagrad", False),
+            collate=collate,
+        )
     valid_shapes = {}
     for uid in valid_ds.keys:
         s = valid_ds[uid]
