@@ -43,6 +43,19 @@ def cmd_fbank(args):
                 n_fft=args.n_fft,
                 hop_length=args.n_shift,
             )
+            if getattr(args, "pitch", False):
+                # fbank_pitch parity: 80 fbank + 3 pitch = 83 dims
+                # (espnet1 steps/make_fbank_pitch.sh, SURVEY A.6)
+                from espnet_tpu.ops.pitch import pitch_feats
+
+                p = pitch_feats(
+                    np.asarray(audio, np.float64),
+                    fs=rate,
+                    frame_shift=args.n_shift,
+                    frame_length=args.n_fft,
+                )
+                n = min(len(feats), len(p))
+                feats = np.concatenate([feats[:n], p[:n]], axis=1)
             w[key] = feats.astype(np.float32)
 
 
@@ -86,6 +99,11 @@ def main(argv=None):
     p.add_argument("--n_mels", type=int, default=80)
     p.add_argument("--n_fft", type=int, default=512)
     p.add_argument("--n_shift", type=int, default=128)
+    p.add_argument(
+        "--pitch",
+        action="store_true",
+        help="append 3 Kaldi-style pitch dims (POV, norm log-F0, delta)",
+    )
     p.set_defaults(fn=cmd_fbank)
 
     p = sub.add_parser("cmvn", help="accumulate global CMVN stats")
