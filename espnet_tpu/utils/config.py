@@ -57,12 +57,22 @@ def merge_config(base: Dict, override: Dict) -> Dict:
 def build_config(
     argv: Optional[List[str]] = None, defaults: Optional[Dict] = None
 ) -> Dict[str, Any]:
-    """--config file.yaml + dotted --key value overrides → config dict."""
+    """--config file.yaml + dotted --key value overrides → config dict.
+
+    `--print_config` dumps the fully-resolved config as yaml and exits
+    (reference: espnet2 abs_task.py:915 print_config) — works in every
+    train CLI since they all resolve configs through here."""
     parser = argparse.ArgumentParser(add_help=False)
     parser.add_argument("--config", default=None)
+    parser.add_argument("--print_config", action="store_true")
     args, rest = parser.parse_known_args(argv)
     config = dict(defaults or {})
     if args.config:
         config = merge_config(config, load_yaml(args.config))
     config = merge_config(config, parse_override(rest))
+    if args.print_config:
+        import yaml
+
+        print(yaml.safe_dump(config, default_flow_style=False, sort_keys=True))
+        raise SystemExit(0)
     return config
