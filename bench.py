@@ -263,6 +263,62 @@ def bench_lm_train():
     return b * l / dt
 
 
+def bench_tacotron2_train():
+    """Tacotron2 TTS train throughput: synthesized audio-seconds of mel
+    targets consumed per wall-second per chip (scan teacher-forced
+    decoder, guided-attention loss, fused Adam). Standard LJSpeech-scale
+    hyperparameters, batch 32 × 500 mel frames (~5.8 s at 86 fps)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from espnet_tpu.models.tts.tacotron2 import Tacotron2
+    from espnet_tpu.train.optimizers import build_optimizer
+    from espnet_tpu.utils.timing import force
+
+    b, l_text, t_dec, n_mels, vocab = 32, 100, 500, 80, 100
+    fps = 86.0  # 22.05 kHz / hop 256
+    model = Tacotron2(vocab_size=vocab, n_mels=n_mels)
+    rng = np.random.RandomState(0)
+    text = jnp.asarray(rng.randint(1, vocab, (b, l_text)).astype(np.int32))
+    tlens = jnp.asarray(np.full(b, l_text, np.int32))
+    mels = jnp.asarray(rng.randn(b, t_dec, n_mels).astype(np.float32))
+    mlens = jnp.asarray(np.full(b, t_dec, np.int32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        text[:1], tlens[:1], mels[:1], mlens[:1],
+    )
+    tx = build_optimizer("adam", lr=1e-3, grad_clip=1.0)
+    state = {"params": variables["params"], "opt": tx.init(variables["params"])}
+
+    @jax.jit
+    def step(state, key):
+        def loss_fn(p):
+            loss, stats = model.apply(
+                {"params": p}, text, tlens, mels, mlens,
+                deterministic=False, rngs={"dropout": key},
+            )
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+        updates, opt = tx.update(grads, state["opt"], state["params"])
+        return {
+            "params": optax.apply_updates(state["params"], updates),
+            "opt": opt,
+        }, loss
+
+    key = jax.random.PRNGKey(2)
+    state, loss = step(state, key)
+    force(loss)
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, loss = step(state, key)
+    force(loss)
+    dt = (time.perf_counter() - t0) / n
+    return b * t_dec / fps / dt / max(jax.device_count(), 1)
+
+
 def main():
     import jax
 
@@ -295,6 +351,12 @@ def main():
         extra["lm_train_tokens_per_s_per_chip"] = round(bench_lm_train(), 0)
     except Exception as e:
         extra["lm_train_error"] = str(e)[:100]
+    try:
+        extra["tacotron2_train_audio_s_per_s_per_chip"] = round(
+            bench_tacotron2_train(), 2
+        )
+    except Exception as e:
+        extra["tts_train_error"] = str(e)[:100]
 
     print(
         json.dumps(

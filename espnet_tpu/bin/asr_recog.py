@@ -40,6 +40,10 @@ def main(argv=None):
     parser.add_argument("--ngram_arpa", default=None,
                         help="ARPA LM for exact any-order jitted fusion")
     parser.add_argument("--ngram_weight", type=float, default=0.0)
+    parser.add_argument("--maskctc_threshold", type=float, default=0.99,
+                        help="Mask-CTC confidence threshold for masking")
+    parser.add_argument("--maskctc_iterations", type=int, default=3,
+                        help="Mask-CTC refill iterations")
     parser.add_argument("--transducer_search", default="greedy",
                         choices=["greedy", "default", "tsd", "alsd",
                                  "alsd_batch", "nsc"])
@@ -63,6 +67,11 @@ def main(argv=None):
 
     if isinstance(model, PITCTCASRModel):
         return _pit_recog(args, model, variables, token_list)
+
+    from espnet_tpu.models.asr.maskctc import MaskCTCModel
+
+    if isinstance(model, MaskCTCModel):
+        return _maskctc_recog(args, model, variables, token_list)
 
     lm = lm_vars = None
     if args.lm_config and args.lm_ckpt:
@@ -203,6 +212,54 @@ def _transducer_recog(args, model, variables, token_list):
         (out / "result.wrd.txt").write_text(sclite_report(word_pairs))
         n_w = sum(len(r) for r, _ in word_pairs.values())
         wer = sum(edit_distance(r, h) for r, h in word_pairs.values()) / max(n_w, 1)
+        summary = {"wer": wer, "num_utts": len(word_pairs)}
+        (out / "summary.json").write_text(json.dumps(summary))
+        logging.info("WER=%.2f%%", wer * 100)
+        return summary
+
+
+def _maskctc_recog(args, model, variables, token_list):
+    """Mask-CTC non-autoregressive decode (e2e_asr_maskctc.py:174):
+    greedy CTC init, iterative refill of low-confidence <mask> tokens."""
+    from espnet_tpu.data.dataset import ESPnetDataset, common_collate
+    from espnet_tpu.data.kaldi_io import read_scp
+    from espnet_tpu.models.asr.maskctc import maskctc_recognize
+    from espnet_tpu.utils.metrics import edit_distance, sclite_report
+
+    data = [tuple(s.split(",")) for s in args.data]
+    ds = ESPnetDataset(data)
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    space = "<space>"
+    hyps = {}
+    for i in range(0, len(ds.keys), args.batch_size):
+        kb = ds.keys[i : i + args.batch_size]
+        batch = common_collate([ds[k] for k in kb])
+        results = maskctc_recognize(
+            model,
+            variables,
+            batch["speech"],
+            batch["speech_lengths"],
+            threshold=args.maskctc_threshold,
+            n_iterations=args.maskctc_iterations,
+        )
+        for k, seq in zip(kb, results):
+            toks = [token_list[t] for t in seq if 0 <= t < len(token_list)]
+            hyps[k] = "".join(" " if t == space else t for t in toks)
+            logging.info("%s: %s", k, hyps[k])
+    with open(out / "text", "w") as f:
+        for k, v in hyps.items():
+            f.write(f"{k} {v}\n")
+    if args.text:
+        refs = read_scp(args.text)
+        word_pairs = {
+            k: (refs[k].split(), hyps[k].split()) for k in hyps if k in refs
+        }
+        (out / "result.wrd.txt").write_text(sclite_report(word_pairs))
+        n_w = sum(len(r) for r, _ in word_pairs.values())
+        wer = sum(
+            edit_distance(r, h) for r, h in word_pairs.values()
+        ) / max(n_w, 1)
         summary = {"wer": wer, "num_utts": len(word_pairs)}
         (out / "summary.json").write_text(json.dumps(summary))
         logging.info("WER=%.2f%%", wer * 100)

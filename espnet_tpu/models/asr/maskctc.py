@@ -29,6 +29,10 @@ class MaskCTCModel(nn.Module):
     ctc_weight: float = 0.3
     lsm_weight: float = 0.1
     ignore_id: int = -1
+    # optional in-graph wav→feature pipeline, composed like ASRModel /
+    # TransducerModel (espnet2 model composition)
+    frontend: Optional[nn.Module] = None
+    normalize: Optional[nn.Module] = None
 
     @property
     def mask_id(self) -> int:
@@ -38,6 +42,10 @@ class MaskCTCModel(nn.Module):
         self.ctc = CTCHead(self.vocab_size)
 
     def encode(self, speech, speech_lengths, deterministic: bool = True):
+        if self.frontend is not None:
+            speech, speech_lengths = self.frontend(speech, speech_lengths)
+        if self.normalize is not None:
+            speech = self.normalize(speech, speech_lengths)
         return self.encoder(speech, speech_lengths, deterministic=deterministic)
 
     def __call__(

@@ -7,6 +7,7 @@ stages (collect_stats → train), functional core.
 """
 from __future__ import annotations
 
+import dataclasses
 import logging
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
@@ -141,6 +142,10 @@ def build_model(config: Dict[str, Any], vocab_size: int):
                 else config.get("input_size", 80)
             )
             t_normalize = GlobalMVN(feat_dim=fd)
+        # drop defaults meant for the attention model (ctc_weight etc.)
+        # that TransducerModel does not take
+        t_fields = {f.name for f in dataclasses.fields(TransducerModel)}
+        model_conf = {k: v for k, v in model_conf.items() if k in t_fields}
         return TransducerModel(
             vocab_size=vocab_size, encoder=enc,
             frontend=t_frontend, normalize=t_normalize, **model_conf
@@ -175,8 +180,22 @@ def build_model(config: Dict[str, Any], vocab_size: int):
 
         dec_cls = resolve_class(config.get("decoder", "transformer"), DECODERS)
         dec = dec_cls(vocab_size, causal=False, **config.get("decoder_conf", {}))
+        m_frontend = None
+        if config.get("frontend") in ("default", "beamformer"):
+            m_frontend = _build_frontend(config)
+        m_normalize = None
+        if config.get("normalize") == "global_mvn":
+            fd = (
+                config.get("frontend_conf", {}).get("n_mels", 80)
+                if m_frontend is not None
+                else config.get("input_size", 80)
+            )
+            m_normalize = GlobalMVN(feat_dim=fd)
+        elif config.get("normalize") == "utterance_mvn":
+            m_normalize = UtteranceMVN()
         return MaskCTCModel(
-            vocab_size=vocab_size, encoder=enc, decoder=dec, **model_conf
+            vocab_size=vocab_size, encoder=enc, decoder=dec,
+            frontend=m_frontend, normalize=m_normalize, **model_conf
         )
     dec = None
     if model_conf.get("ctc_weight", 0.5) < 1.0 and config.get("decoder"):

@@ -36,7 +36,7 @@ class TrainState(flax.struct.PyTreeNode):
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
-    rng_names: Tuple[str, ...] = ("dropout", "specaug", "sampling"),
+    rng_names: Tuple[str, ...] = ("dropout", "specaug", "sampling", "maskctc"),
 ) -> Callable:
     """Build the jittable train step: (state, batch) → (state, stats).
 
