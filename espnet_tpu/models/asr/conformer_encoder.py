@@ -28,6 +28,9 @@ class ConformerEncoderLayer(nn.Module):
     attention_dropout_rate: float = 0.0
     use_macaron: bool = True
     use_cnn: bool = True
+    # None → auto (fused Pallas conv module on TPU); the encoder forces
+    # False under sequence parallelism (opaque kernel would block GSPMD)
+    conv_use_fused: "bool | None" = None
     dtype: type = jnp.float32
 
     @nn.compact
@@ -55,9 +58,11 @@ class ConformerEncoderLayer(nn.Module):
         if self.use_cnn:
             residual = x
             x = nn.LayerNorm(dtype=self.dtype)(x)
-            x = ConformerConvModule(self.cnn_kernel, dtype=self.dtype)(
-                x, pad_mask, deterministic=deterministic
-            )
+            x = ConformerConvModule(
+                self.cnn_kernel,
+                use_fused=self.conv_use_fused,
+                dtype=self.dtype,
+            )(x, pad_mask, deterministic=deterministic)
             x = residual + drop(x, deterministic=deterministic)
 
         residual = x
@@ -137,6 +142,7 @@ class ConformerEncoder(nn.Module):
                 self.attention_dropout_rate,
                 self.use_macaron,
                 self.use_cnn,
+                conv_use_fused=False if self.seq_axis else None,
                 dtype=self.dtype,
             )(xs, pos_emb, attn_mask, pad_mask, deterministic)
             xs = seq_shard(xs)
