@@ -40,6 +40,13 @@ def main(argv=None):
     parser.add_argument("--ngram_arpa", default=None,
                         help="ARPA LM for exact any-order jitted fusion")
     parser.add_argument("--ngram_weight", type=float, default=0.0)
+    parser.add_argument("--streaming_mode", default="none",
+                        choices=["none", "window", "segment"],
+                        help="online decode (reference --streaming-mode: "
+                        "window = growing-window greedy CTC, segment = "
+                        "CTC-blank-triggered segmentation)")
+    parser.add_argument("--streaming_chunk", type=int, default=2048,
+                        help="input samples (or frames) fed per streaming step")
     parser.add_argument("--maskctc_threshold", type=float, default=0.99,
                         help="Mask-CTC confidence threshold for masking")
     parser.add_argument("--maskctc_iterations", type=int, default=3,
@@ -72,6 +79,9 @@ def main(argv=None):
 
     if isinstance(model, MaskCTCModel):
         return _maskctc_recog(args, model, variables, token_list)
+
+    if args.streaming_mode != "none":
+        return _streaming_recog(args, model, variables, token_list)
 
     lm = lm_vars = None
     if args.lm_config and args.lm_ckpt:
@@ -212,6 +222,61 @@ def _transducer_recog(args, model, variables, token_list):
         (out / "result.wrd.txt").write_text(sclite_report(word_pairs))
         n_w = sum(len(r) for r, _ in word_pairs.values())
         wer = sum(edit_distance(r, h) for r, h in word_pairs.values()) / max(n_w, 1)
+        summary = {"wer": wer, "num_utts": len(word_pairs)}
+        (out / "summary.json").write_text(json.dumps(summary))
+        logging.info("WER=%.2f%%", wer * 100)
+        return summary
+
+
+def _streaming_recog(args, model, variables, token_list):
+    """Online decode (reference streaming/window.py:6, segment.py:5):
+    feed each utterance in --streaming_chunk pieces; window mode keeps
+    the last incremental hypothesis, segment mode concatenates finalized
+    segments (+ an end-of-stream flush)."""
+    from espnet_tpu.data.dataset import ESPnetDataset
+    from espnet_tpu.data.kaldi_io import read_scp
+    from espnet_tpu.search.streaming import SegmentStreamingASR, WindowStreamingASR
+    from espnet_tpu.utils.metrics import edit_distance, sclite_report
+
+    data = [tuple(spec.split(",")) for spec in args.data]
+    ds = ESPnetDataset(data)
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    space = "<space>"
+    hyps = {}
+    for key in ds.keys:
+        wav = ds[key]["speech"]  # raw samples (t,) or features (t, D)
+        if args.streaming_mode == "window":
+            dec = WindowStreamingASR(model, variables)
+            ids = []
+            for i in range(0, len(wav), args.streaming_chunk):
+                ids = dec.accept_input(wav[i : i + args.streaming_chunk])
+        else:
+            dec = SegmentStreamingASR(model, variables)
+            ids = []
+            for i in range(0, len(wav), args.streaming_chunk):
+                seg = dec.accept_input(wav[i : i + args.streaming_chunk])
+                if seg:
+                    ids.extend(seg)
+            tail = dec.flush()
+            if tail:
+                ids.extend(tail)
+        toks = [token_list[t] for t in ids if 0 <= t < len(token_list)]
+        hyps[key] = "".join(" " if t == space else t for t in toks)
+        logging.info("%s: %s", key, hyps[key])
+    with open(out / "text", "w") as f:
+        for k, v in hyps.items():
+            f.write(f"{k} {v}\n")
+    if args.text:
+        refs = read_scp(args.text)
+        word_pairs = {
+            k: (refs[k].split(), hyps[k].split()) for k in hyps if k in refs
+        }
+        (out / "result.wrd.txt").write_text(sclite_report(word_pairs))
+        n_w = sum(len(r) for r, _ in word_pairs.values())
+        wer = sum(
+            edit_distance(r, h) for r, h in word_pairs.values()
+        ) / max(n_w, 1)
         summary = {"wer": wer, "num_utts": len(word_pairs)}
         (out / "summary.json").write_text(json.dumps(summary))
         logging.info("WER=%.2f%%", wer * 100)

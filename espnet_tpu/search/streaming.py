@@ -28,7 +28,8 @@ def _pad_frames(buf: np.ndarray, pad_to: int) -> np.ndarray:
     t_pad = (t + pad_to - 1) // pad_to * pad_to
     if t_pad == t:
         return buf
-    return np.pad(buf, ((0, t_pad - t), (0, 0)))
+    pad = [(0, t_pad - t)] + [(0, 0)] * (buf.ndim - 1)
+    return np.pad(buf, pad)
 
 
 class WindowStreamingASR:
@@ -103,3 +104,19 @@ class SegmentStreamingASR:
                 prev = p
             return seq
         return None
+
+    def flush(self) -> Optional[List[int]]:
+        """Force-close the open segment at end of stream (the reference
+        decodes whatever remains buffered when input ends)."""
+        if self.buf is None or len(self.buf) == 0:
+            return None
+        seg, self.buf = self.buf, None
+        if self.decode_fn is not None:
+            return self.decode_fn(seg)
+        path = self._greedy_path(seg)
+        seq, prev = [], -1
+        for p in path:
+            if p != 0 and p != prev:
+                seq.append(int(p))
+            prev = p
+        return seq

@@ -88,3 +88,18 @@ def test_native_editdistance_matches_python():
     from espnet_tpu.utils.metrics import edit_distance
 
     assert edit_distance("abcdef", "azced") == 3
+
+
+def test_segment_streaming_flush():
+    """End-of-stream flush decodes the open segment (CLI parity for
+    --streaming_mode segment)."""
+    from espnet_tpu.search.streaming import SegmentStreamingASR
+
+    model, variables = _tiny_asr()
+    s = SegmentStreamingASR(model, variables, min_blank_dur=10**6)
+    rng = np.random.RandomState(0)
+    out = s.accept_input(rng.randn(30, 6).astype(np.float32))
+    assert out is None  # blank threshold unreachable, segment stays open
+    tail = s.flush()
+    assert tail is None or isinstance(tail, list)
+    assert s.buf is None  # buffer consumed
