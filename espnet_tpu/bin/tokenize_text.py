@@ -47,6 +47,11 @@ def main(argv=None):
     parser.add_argument("--write_vocabulary", default=False,
                         type=lambda s: str(s).lower() in ("true", "1", "yes"))
     parser.add_argument("--vocabulary_size", type=int, default=0)
+    parser.add_argument("--train_bpe", default=False,
+                        type=lambda x: str(x).lower() in ("true", "1", "yes"),
+                        help="train the own-BPE model on the input first "
+                        "(spm_train analog) and save it to --bpemodel")
+    parser.add_argument("--bpe_vocab_size", type=int, default=1000)
     parser.add_argument("--cutoff", type=int, default=0,
                         help="drop tokens with count <= cutoff")
     parser.add_argument("--add_symbol", action="append", default=[],
@@ -69,6 +74,32 @@ def main(argv=None):
 
         cleaner = TextCleaner([args.cleaner])
 
+    if args.token_type == "bpe" and args.train_bpe:
+        # spm_train analog over the (field-sliced, cleaned) input text
+        from espnet_tpu.text.bpe import BPETokenizer
+
+        src = sys.stdin if args.input == "-" else open(args.input, encoding="utf-8")
+        lines = []
+        sl0 = field2slice(args.field) if args.field else None
+        for line in src:
+            line = line.rstrip("\n")
+            if sl0 is not None:
+                parts = line.split(args.delimiter)
+                line = (args.delimiter or " ").join(parts[sl0])
+            if cleaner is not None:
+                line = cleaner(line)
+            lines.append(line)
+        if src is not sys.stdin:
+            src.close()
+        bpe = BPETokenizer.train(lines, vocab_size=args.bpe_vocab_size)
+        Path(args.bpemodel).parent.mkdir(parents=True, exist_ok=True)
+        bpe.save(args.bpemodel)
+        # re-feed the buffered lines below instead of re-reading stdin
+        args.input = None
+        _buffered_lines = lines
+    else:
+        _buffered_lines = None
+
     tokenizer = build_tokenizer(
         args.token_type,
         bpemodel=args.bpemodel,
@@ -78,8 +109,13 @@ def main(argv=None):
         g2p_type=args.g2p,
     )
 
-    fin = sys.stdin if args.input == "-" else open(args.input, encoding="utf-8")
-    sl = field2slice(args.field) if args.field else None
+    if _buffered_lines is not None:
+        fin = _buffered_lines
+        sl = None  # already sliced/cleaned during BPE training
+        cleaner = None
+    else:
+        fin = sys.stdin if args.input == "-" else open(args.input, encoding="utf-8")
+        sl = field2slice(args.field) if args.field else None
 
     counter: Counter = Counter()
     out_lines = []
@@ -97,7 +133,7 @@ def main(argv=None):
             counter.update(toks)
         else:
             out_lines.append(" ".join(toks))
-    if fin is not sys.stdin:
+    if fin is not sys.stdin and not isinstance(fin, list):
         fin.close()
 
     if args.write_vocabulary:
