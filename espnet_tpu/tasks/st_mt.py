@@ -35,10 +35,21 @@ DEFAULT_CONFIG: Dict[str, Any] = {
 
 
 def build_st_model(config: Dict[str, Any], vocab: int, src_vocab: int) -> STModel:
-    from espnet_tpu.models.asr import TransformerDecoder, TransformerEncoder
+    from espnet_tpu.models.asr import (
+        ConformerEncoder,
+        TransformerDecoder,
+        TransformerEncoder,
+    )
     from espnet_tpu.models.asr.frontend import DefaultFrontend, UtteranceMVN
 
-    enc = TransformerEncoder(**config.get("encoder_conf", {}))
+    # encoder: transformer (e2e_st_transformer.py) | conformer
+    # (e2e_st_conformer.py:19)
+    enc_cls = (
+        ConformerEncoder
+        if config.get("encoder", "transformer") == "conformer"
+        else TransformerEncoder
+    )
+    enc = enc_cls(**config.get("encoder_conf", {}))
     dec = TransformerDecoder(vocab, **config.get("decoder_conf", {}))
     mc = dict(config.get("model_conf", {}))
     asr_dec = None

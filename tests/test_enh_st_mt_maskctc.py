@@ -207,3 +207,39 @@ def test_enh_task_train(tmp_path):
     r = trainer.reporter
     assert r.get(3, "train", "loss") < r.get(1, "train", "loss")
     assert (tmp_path / "exp" / "valid.loss.best.ckpt").exists()
+
+
+def test_st_conformer_encoder():
+    """encoder: conformer in the ST task (e2e_st_conformer.py:19 parity)."""
+    from espnet_tpu.tasks.st_mt import DEFAULT_CONFIG, build_st_model
+
+    cfg = dict(DEFAULT_CONFIG)
+    cfg["encoder"] = "conformer"
+    cfg["encoder_conf"] = {
+        "attention_dim": 16, "attention_heads": 2, "linear_units": 16,
+        "num_blocks": 1, "input_layer": "linear", "cnn_kernel": 7,
+    }
+    cfg["decoder_conf"] = {
+        "attention_dim": 16, "attention_heads": 2, "linear_units": 16,
+        "num_blocks": 1,
+    }
+    cfg["frontend_conf"] = {"fs": 8000, "n_fft": 256, "hop_length": 128,
+                            "n_mels": 8}
+    m = build_st_model(cfg, vocab=11, src_vocab=9)
+    assert m.encoder.__class__.__name__ == "ConformerEncoder"
+    rng = np.random.RandomState(0)
+    wav = jnp.asarray(rng.randn(2, 3000).astype(np.float32))
+    wl = jnp.array([3000, 2500])
+    tgt = jnp.asarray(rng.randint(1, 10, (2, 5)).astype(np.int32))
+    tl = jnp.array([5, 4])
+    src = jnp.asarray(rng.randint(1, 8, (2, 4)).astype(np.int32))
+    sl = jnp.array([4, 3])
+    v = m.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        wav, wl, tgt, tl, src, sl,
+    )
+    loss, stats = m.apply(
+        v, wav, wl, tgt, tl, src, sl,
+        rngs={"dropout": jax.random.PRNGKey(2)}, deterministic=False,
+    )
+    assert np.isfinite(float(loss))
