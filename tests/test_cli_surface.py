@@ -247,3 +247,41 @@ def test_enh_asr_train(data, tmp_path):
     )
     assert (exp / "latest.ckpt").exists()
     assert (exp / "config.yaml").exists()
+
+
+@pytest.mark.slow
+def test_template_asr_driver(data, tmp_path):
+    """recipes/TEMPLATE/asr.sh end-to-end (tokens → stats → train →
+    decode → pack) on the fixture corpus."""
+    conf = tmp_path / "train.yaml"
+    conf.write_text(
+        "frontend: default\n"
+        "frontend_conf: {fs: 8000, n_fft: 256, hop_length: 128, n_mels: 10}\n"
+        "normalize: global_mvn\n"
+        "encoder: rnn\n"
+        "encoder_conf: {elayers: 1, eunits: 16, eprojs: 16}\n"
+        "decoder: rnn\n"
+        "decoder_conf: {dunits: 16, dlayers: 1, att_dim: 8, aconv_chans: 2, aconv_filts: 3}\n"
+        "model_conf: {ctc_weight: 0.5}\n"
+        "optim: adam\noptim_conf: {lr: 0.005}\n"
+        "max_epoch: 2\nbatch_size: 3\nlog_interval: 1000\n"
+    )
+    dset = tmp_path / "dset"
+    dset.mkdir()
+    (dset / "wav.scp").write_text((data / "wav.scp").read_text())
+    (dset / "text").write_text((data / "src_text").read_text())
+    r = subprocess.run(
+        ["bash", os.path.join(REPO, "recipes/TEMPLATE/asr.sh"),
+         "--stage", "3", "--stop_stage", "8",
+         "--train_set", str(dset), "--valid_set", str(dset),
+         "--test_sets", str(dset),
+         "--asr_config", str(conf),
+         "--tokens", str(tmp_path / "tokens.txt"),
+         "--expdir", str(tmp_path / "exp"),
+         "--beam_size", "3", "--ctc_weight", "0.5"],
+        env=ENV, capture_output=True, text=True, timeout=600,
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+    assert (tmp_path / "exp/asr/decode_dset/summary.json").exists()
+    assert (tmp_path / "exp/asr/model.zip").exists()
