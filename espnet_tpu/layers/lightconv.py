@@ -27,8 +27,6 @@ dynamic variants so edge positions renormalise over real taps only
 """
 from __future__ import annotations
 
-import functools
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

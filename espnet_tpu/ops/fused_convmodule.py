@@ -26,7 +26,6 @@ allclose bounds.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
