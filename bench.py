@@ -371,5 +371,36 @@ def main():
     )
 
 
+def _watchdog(seconds: int = 3300):
+    """Emit an honest error JSON instead of hanging forever if the
+    device becomes unreachable (a stalled remote compile can wedge the
+    tunnel — see docs/BENCHMARKS.md and the verify skill); the driver
+    then records a failed bench rather than timing out silently."""
+    import os
+    import signal
+
+    def _abort(signum, frame):
+        print(
+            json.dumps(
+                {
+                    "metric": "conformer_train_throughput_audio_sec_per_s_per_chip",
+                    "value": 0.0,
+                    "unit": "audio-seconds/s/chip",
+                    "vs_baseline": 0.0,
+                    "extra": {
+                        "error": "bench watchdog fired: device unreachable "
+                        "or compile stalled (tunnel wedge)"
+                    },
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, _abort)
+    signal.alarm(seconds)
+
+
 if __name__ == "__main__":
+    _watchdog()
     main()
