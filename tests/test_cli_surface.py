@@ -285,3 +285,50 @@ def test_template_asr_driver(data, tmp_path):
     assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
     assert (tmp_path / "exp/asr/decode_dset/summary.json").exists()
     assert (tmp_path / "exp/asr/model.zip").exists()
+
+
+@pytest.mark.slow
+def test_streaming_recog_cli(data, tmp_path):
+    """--streaming_mode window|segment through asr_recog (reference
+    --streaming-mode in espnet/bin/asr_recog.py:225)."""
+    exp = tmp_path / "asr_stream"
+    stats = tmp_path / "stats_stream"
+    fc = '{"fs": 8000, "n_fft": 256, "hop_length": 128, "n_mels": 10}'
+    run_cli(
+        "asr_train",
+        "--train_data", f"{data}/wav.scp,speech,sound",
+        "--train_data", f"{data}/src_text,text,text",
+        "--collect_stats", "true", "--stats_dir", stats,
+        "--token_list", f"{data}/tokens.txt",
+        "--frontend", "default", "--frontend_conf", fc,
+        "--normalize", "global_mvn", "--expdir", exp,
+        "--encoder", "rnn",
+        "--encoder_conf", '{"elayers": 1, "eunits": 16, "eprojs": 16}',
+        "--model_conf", '{"ctc_weight": 1.0}',
+    )
+    run_cli(
+        "asr_train",
+        "--train_data", f"{data}/wav.scp,speech,sound",
+        "--train_data", f"{data}/src_text,text,text",
+        "--valid_data", f"{data}/wav.scp,speech,sound",
+        "--valid_data", f"{data}/src_text,text,text",
+        "--token_list", f"{data}/tokens.txt",
+        "--frontend", "default", "--frontend_conf", fc,
+        "--normalize", "global_mvn",
+        "--expdir", exp, "--stats_dir", stats,
+        "--max_epoch", 1, "--batch_size", 3,
+        "--encoder", "rnn",
+        "--encoder_conf", '{"elayers": 1, "eunits": 16, "eprojs": 16}',
+        "--model_conf", '{"ctc_weight": 1.0}',
+    )
+    for mode in ("window", "segment"):
+        run_cli(
+            "asr_recog",
+            "--data", f"{data}/wav.scp,speech,sound",
+            "--text", f"{data}/src_text",
+            "--config", exp / "config.yaml", "--ckpt", exp / "latest.ckpt",
+            "--output_dir", exp / f"decode_{mode}",
+            "--streaming_mode", mode, "--streaming_chunk", 1500,
+        )
+        assert (exp / f"decode_{mode}" / "summary.json").exists()
+        assert (exp / f"decode_{mode}" / "text").exists()
