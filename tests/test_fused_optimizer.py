@@ -102,3 +102,23 @@ def test_fused_adamw_weight_decay():
     p_fused = _run(fused, params, grads_list)
     for a, b in zip(jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p_fused)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_adam_with_grad_accumulation():
+    """MultiSteps(fused_adam) matches MultiSteps(optax chain): updates
+    fire every k-th step with the averaged gradient."""
+    params = _tree(0)
+    grads_list = [_tree(i + 1) for i in range(6)]
+
+    fused = build_optimizer("adam", lr=1e-2, grad_clip=1.0, accum_grad=3)
+    ref_inner = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-2))
+    ref = optax.MultiSteps(ref_inner, every_k_schedule=3)
+
+    p_f = _run(fused, params, grads_list)
+    p_r = _run(ref, params, grads_list)
+    for a, b in zip(jax.tree_util.tree_leaves(p_r), jax.tree_util.tree_leaves(p_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+    # mid-window steps emit zero updates (params only move at k-th)
+    state = fused.init(params)
+    u1, state = fused.update(grads_list[0], state, params)
+    assert all(np.asarray(x).max() == 0 for x in jax.tree_util.tree_leaves(u1))
