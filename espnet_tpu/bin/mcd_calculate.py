@@ -42,6 +42,11 @@ def main(argv=None):
             continue
         _, r = read_audio(refs[uid])
         _, h = read_audio(hyps[uid])
+        if len(r) < args.n_fft or len(h) < args.n_fft:
+            logging.warning(
+                "%s: skipped (shorter than one analysis window: ref %d, "
+                "hyp %d samples)", uid, len(r), len(h))
+            continue
         per_utt[uid] = mcd(
             r, h, fs=args.fs, n_fft=args.n_fft, hop_length=args.hop_length
         )

@@ -92,7 +92,10 @@ def main(argv=None):
     for uid, sent in read_scp(args.text).items():
         data = pre(uid, {"text": sent})
         feats, olens, wav = t2s(data["text"][None])
-        n = int(olens[0]) * fe.get("hop_length", 256)
+        # a barely-trained model can emit stop at step 0 — always write
+        # at least one frame so downstream consumers (MCD, players)
+        # never see an empty file
+        n = max(int(olens[0]), 1) * fe.get("hop_length", 256)
         write_wav(out / "wav" / f"{uid}.wav", fe.get("fs", args.fs), wav[0][:n])
         logging.info("%s: %d frames", uid, int(olens[0]))
 

@@ -119,9 +119,18 @@ d = Path(sys.argv[1])
 lines = [f"{w.stem} {w.resolve()}" for w in sorted(d.glob("*.wav"))]
 (d.parent / "hyp_wav.scp").write_text("\n".join(lines) + "\n")
 PYEOF
+    # MCD at the corpus's own STFT scale (from feats_extract_conf)
+    read mcd_fs mcd_nfft mcd_hop <<< $($python - "$tts_config" <<'PYEOF2'
+import sys, yaml
+c = yaml.safe_load(open(sys.argv[1])) or {}
+fc = c.get("feats_extract_conf", {})
+print(fc.get("fs", 16000), fc.get("n_fft", 1024), fc.get("hop_length", 256))
+PYEOF2
+)
     $python -m espnet_tpu.bin.mcd_calculate \
       --ref $eset/wav.scp \
       --hyp $expdir/synth_$name/hyp_wav.scp \
+      --fs $mcd_fs --n_fft $mcd_nfft --hop_length $mcd_hop \
       --out $expdir/synth_$name/mcd.json || true
     cat $expdir/synth_$name/mcd.json 2>/dev/null || true
   done

@@ -332,3 +332,65 @@ def test_streaming_recog_cli(data, tmp_path):
         )
         assert (exp / f"decode_{mode}" / "summary.json").exists()
         assert (exp / f"decode_{mode}" / "text").exists()
+
+
+@pytest.mark.slow
+def test_template_tts_driver(data, tmp_path):
+    """recipes/TEMPLATE/tts.sh end-to-end (tokens → stats → train →
+    synthesis → MCD) on the fixture corpus."""
+    conf = tmp_path / "tts.yaml"
+    conf.write_text(
+        "feats_extract_conf: {fs: 8000, n_fft: 256, hop_length: 128, n_mels: 10}\n"
+        "tts_conf: {embed_dim: 8, enc_conv_layers: 1, enc_conv_chans: 8,\n"
+        "  enc_blstm_units: 8, dunits: 8, dlayers: 1, prenet_units: 4,\n"
+        "  postnet_chans: 4, att_dim: 4, aconv_chans: 2, aconv_filts: 3}\n"
+        "optim: adam\noptim_conf: {lr: 0.002}\n"
+        "max_epoch: 1\nbatch_size: 3\nlog_interval: 1000\n"
+    )
+    dset = tmp_path / "dset"
+    dset.mkdir()
+    (dset / "wav.scp").write_text((data / "wav.scp").read_text())
+    (dset / "text").write_text((data / "src_text").read_text())
+    r = subprocess.run(
+        ["bash", os.path.join(REPO, "recipes/TEMPLATE/tts.sh"),
+         "--train_set", str(dset), "--eval_sets", str(dset),
+         "--tts_config", str(conf),
+         "--tokens", str(tmp_path / "tok.txt"),
+         "--expdir", str(tmp_path / "exp")],
+        env=ENV, capture_output=True, text=True, timeout=600,
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+    assert (tmp_path / "exp/synth_dset/mcd.json").exists(), (
+        r.stdout[-1500:] + r.stderr[-1500:]
+    )
+
+
+@pytest.mark.slow
+def test_template_enh_driver(data, tmp_path):
+    """recipes/TEMPLATE/enh.sh end-to-end (train → separate → score)."""
+    conf = tmp_path / "enh.yaml"
+    conf.write_text(
+        "separator: tf_masking\n"
+        "separator_conf: {n_fft: 256, hop_length: 128, units: 8, layers: 1}\n"
+        "chunk_length: 2000\n"
+        "optim: adam\noptim_conf: {lr: 0.002}\n"
+        "max_epoch: 1\nbatch_size: 2\nlog_interval: 1000\n"
+    )
+    dset = tmp_path / "dset"
+    dset.mkdir()
+    (dset / "wav_mix.scp").write_text((data / "mix.scp").read_text())
+    (dset / "wav_spk1.scp").write_text((data / "s1.scp").read_text())
+    (dset / "wav_spk2.scp").write_text((data / "s2.scp").read_text())
+    r = subprocess.run(
+        ["bash", os.path.join(REPO, "recipes/TEMPLATE/enh.sh"),
+         "--train_set", str(dset), "--valid_set", str(dset),
+         "--test_sets", str(dset),
+         "--enh_config", str(conf), "--fs", "8000",
+         "--expdir", str(tmp_path / "exp"),
+         "--score_args", "--bss_eval"],
+        env=ENV, capture_output=True, text=True, timeout=600,
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+    assert (tmp_path / "exp/score_dset/summary.json").exists()
