@@ -244,15 +244,21 @@ def _streaming_recog(args, model, variables, token_list):
     out.mkdir(parents=True, exist_ok=True)
     space = "<space>"
     hyps = {}
+    # ONE decoder reused across utterances (its jitted encoder/CTC
+    # closures cache by bucketed shape); a fresh instance per utterance
+    # would recompile the encoder every time
+    if args.streaming_mode == "window":
+        dec = WindowStreamingASR(model, variables)
+    else:
+        dec = SegmentStreamingASR(model, variables)
     for key in ds.keys:
         wav = ds[key]["speech"]  # raw samples (t,) or features (t, D)
+        dec.buf = None  # reset stream state between utterances
         if args.streaming_mode == "window":
-            dec = WindowStreamingASR(model, variables)
             ids = []
             for i in range(0, len(wav), args.streaming_chunk):
                 ids = dec.accept_input(wav[i : i + args.streaming_chunk])
         else:
-            dec = SegmentStreamingASR(model, variables)
             ids = []
             for i in range(0, len(wav), args.streaming_chunk):
                 seg = dec.accept_input(wav[i : i + args.streaming_chunk])

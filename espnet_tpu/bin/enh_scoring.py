@@ -110,10 +110,27 @@ def main(argv=None):
         if args.pesq:
             from espnet_tpu.utils.pesq import pesq as pesq_fn
 
-            fs_p = rates[0] if rates[0] in (8000, 16000) else 16000
+            fs_in = rates[0]
+            if fs_in in (8000, 16000):
+                rp, ep, fs_p = r, e, fs_in
+            else:
+                # P.862 is defined at 8/16 kHz — resample (linear) to
+                # 16 kHz rather than silently mis-scaling the filters
+                fs_p = 16000
+                logging.warning(
+                    "%s: resampling %d Hz -> 16 kHz for PESQ", uid, fs_in
+                )
+
+                def _rs(x):
+                    n2 = int(round(len(x) * fs_p / fs_in))
+                    idx = np.linspace(0, len(x) - 1, n2)
+                    return np.interp(idx, np.arange(len(x)), x)
+
+                rp = [_rs(x) for x in r]
+                ep = [_rs(x) for x in e]
             pesq_v = float(
                 np.mean(
-                    [pesq_fn(r[p], e[i], fs_p) for i, p in enumerate(perm)]
+                    [pesq_fn(rp[p], ep[i], fs_p) for i, p in enumerate(perm)]
                 )
             )
             per_utt[uid]["pesq"] = pesq_v

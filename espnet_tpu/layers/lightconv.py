@@ -160,11 +160,17 @@ class _ConvAttentionBase(nn.Module):
                 weight_f = self.param(
                     "conv_weight_f", nn.initializers.uniform(1.0), (k,)
                 )
-                wf = jax.nn.softmax(weight_f, axis=-1)
-                wf = wdrop(wf, deterministic=deterministic)
+                # same order as the time branch: dropout on raw weights,
+                # then softmax — keeps the kernel a convex combination
+                # at train time (no 1/(1-p) inflation)
+                wf = wdrop(weight_f, deterministic=deterministic)
+                wf = jax.nn.softmax(wf, axis=-1)
                 hf = _freq_conv_shared(h, wf)
             else:
-                wf = nn.Dense(k, dtype=self.dtype)(x)  # (B, T, K), un-normalised
+                # reference dynamic_conv2d.py:98-103 applies the
+                # predicted frequency kernels WITHOUT softmax or
+                # dropout (unlike its time branch) — kept as-is
+                wf = nn.Dense(k, dtype=self.dtype)(x)  # (B, T, K)
                 hf = _freq_conv_dynamic(h, wf)
             ht = jnp.concatenate([ht, hf], axis=-1)  # (B, T, 2D)
 

@@ -89,6 +89,10 @@ class TransformerTTS(nn.Module):
         memory = self._encode(text, text_lengths, deterministic)
         b, t_dec, _ = speech.shape
         r = self.reduction_factor
+        if t_dec % r:
+            pad = r - t_dec % r
+            speech = jnp.pad(speech, ((0, 0), (0, pad), (0, 0)))
+            t_dec = t_dec + pad
         steps = t_dec // r
         ys_groups = speech.reshape(b, steps, r, self.n_mels)[:, :, -1]
         go = jnp.zeros((b, 1, self.n_mels), speech.dtype)
@@ -126,6 +130,7 @@ class TransformerTTS(nn.Module):
         maxsteps = max(int(maxlenratio * l) // r, 1)
         memory = self._encode(text, text_lengths, True)
         frames_buf = jnp.zeros((b, maxsteps + 1, self.n_mels))
+        out_buf = jnp.zeros((b, maxsteps, r, self.n_mels))
         stopped = jnp.zeros((b,), bool)
         olens = jnp.zeros((b,), jnp.int32)
 
@@ -136,8 +141,9 @@ class TransformerTTS(nn.Module):
             last = frames[:, step].reshape(b, r, self.n_mels)
             prob = jax.nn.sigmoid(stop[:, step]).max(axis=-1)
             frames_buf = frames_buf.at[:, step + 1].set(last[:, -1])
+            out_buf = out_buf.at[:, step].set(last)
             olens = jnp.where(stopped, olens, (step + 1) * r)
             stopped = stopped | (prob >= threshold)
-        before = frames_buf[:, 1:]
+        before = out_buf.reshape(b, maxsteps * r, self.n_mels)
         after = before + self.postnet(before, True)
         return after, olens

@@ -109,6 +109,10 @@ class VCTransformer(nn.Module):
         memory, mem_lens = self._encode(xs, ilens, deterministic)
         b, t_dec, _ = speech.shape
         r = self.reduction_factor
+        if t_dec % r:
+            pad = r - t_dec % r
+            speech = jnp.pad(speech, ((0, 0), (0, pad), (0, 0)))
+            t_dec = t_dec + pad
         steps = t_dec // r
         ys_groups = speech.reshape(b, steps, r, self.n_mels)[:, :, -1]
         go = jnp.zeros((b, 1, self.n_mels), speech.dtype)
@@ -159,6 +163,7 @@ class VCTransformer(nn.Module):
         minframes = int(minlenratio * l)
         memory, mem_lens = self._encode(xs, ilens, True)
         frames_buf = jnp.zeros((b, maxsteps + 1, self.n_mels))
+        out_buf = jnp.zeros((b, maxsteps, r, self.n_mels))
         stopped = jnp.zeros((b,), bool)
         olens = jnp.zeros((b,), jnp.int32)
 
@@ -169,10 +174,11 @@ class VCTransformer(nn.Module):
             last = frames[:, step].reshape(b, r, self.n_mels)
             prob = jax.nn.sigmoid(stop[:, step]).max(axis=-1)
             frames_buf = frames_buf.at[:, step + 1].set(last[:, -1])
+            out_buf = out_buf.at[:, step].set(last)
             olens = jnp.where(stopped, olens, (step + 1) * r)
             can_stop = (step + 1) * r >= minframes
             stopped = stopped | ((prob >= threshold) & can_stop)
-        before = frames_buf[:, 1:]
+        before = out_buf.reshape(b, maxsteps * r, self.n_mels)
         after = before + self.postnet(before, True)
         att = jnp.zeros((b, 1, 1))  # attention maps not materialised here
         return after, olens, att

@@ -19,6 +19,7 @@
 #   7 decode + scoring (sclite-style reports) (↔ stages 12-13)
 #   8 pack model                              (↔ stage 15)
 set -euo pipefail
+export PYTHONPATH="$(cd "$(dirname "$0")/../.."; pwd):${PYTHONPATH:-}"
 
 stage=1
 stop_stage=8
@@ -37,6 +38,7 @@ ctc_weight=0.3
 decode_args=""
 speed_perturb_factors=""
 python=python
+bpemodel=""
 
 while [ $# -gt 0 ]; do
   case "$1" in
@@ -59,6 +61,11 @@ while [ $# -gt 0 ]; do
     *) echo "unknown option $1"; exit 1;;
   esac
 done
+[ -n "$bpemodel" ] || bpemodel=$(dirname $tokens)/bpe.model
+tok_args="--token_type $token_type"
+if [ "$token_type" = bpe ]; then
+  tok_args="$tok_args --bpemodel $bpemodel"
+fi
 
 log() { echo "=== $(date +%T) $*"; }
 
@@ -81,7 +88,6 @@ if [ $stage -le 2 ] && [ $stop_stage -ge 2 ] && [ -n "$speed_perturb_factors" ];
 import sys
 from pathlib import Path
 import numpy as np
-sys.path.insert(0, str(Path(__file__).resolve()))
 from espnet_tpu.data.kaldi_io import read_scp, write_scp
 from espnet_tpu.data.wav import read_wav, write_wav
 
@@ -119,6 +125,11 @@ with open(dst / "text", "w") as fh:
         fh.write(f"{k} {v}\n")
 print(f"speed-perturbed {len(scp)} -> {len(out_scp)} utts at {dst}")
 PYEOF
+fi
+# speed-perturbed copy becomes the train set whether stage 2 just ran or
+# we are resuming at a later stage (the [ $stage -le 2 ] guard must not
+# silently fall back to unperturbed data)
+if [ -n "$speed_perturb_factors" ] && [ -d "${train_set}_sp" ]; then
   train_set=${train_set}_sp
 fi
 
@@ -126,7 +137,7 @@ if [ $stage -le 3 ] && [ $stop_stage -ge 3 ]; then
   log "stage 3: token list ($token_type)"
   extra=""
   if [ "$token_type" = bpe ]; then
-    extra="--train_bpe true --bpe_vocab_size $nbpe --bpemodel $(dirname $tokens)/bpe.model"
+    extra="--train_bpe true --bpe_vocab_size $nbpe --bpemodel $bpemodel"
   fi
   cat $train_set/text $valid_set/text | \
     $python -m espnet_tpu.bin.tokenize_text \
@@ -141,7 +152,7 @@ if [ $stage -le 4 ] && [ $stop_stage -ge 4 ] && [ -n "$lm_config" ]; then
   $python -m espnet_tpu.bin.lm_train \
     --train_data $train_set/text,text,text \
     --valid_data $valid_set/text,text,text \
-    --token_list $tokens --expdir $expdir/lm --config $lm_config
+    --token_list $tokens --expdir $expdir/lm --config $lm_config $tok_args
   for tset in $test_sets; do
     $python -m espnet_tpu.bin.lm_calc_perplexity \
       --data $tset/text,text,text \
@@ -158,7 +169,7 @@ if [ $stage -le 5 ] && [ $stop_stage -ge 5 ]; then
     --train_data $train_set/wav.scp,speech,sound \
     --train_data $train_set/text,text,text \
     --token_list $tokens --expdir $expdir/asr --stats_dir $expdir/stats \
-    --config $asr_config
+    --config $asr_config $tok_args
 fi
 
 if [ $stage -le 6 ] && [ $stop_stage -ge 6 ]; then
@@ -169,7 +180,7 @@ if [ $stage -le 6 ] && [ $stop_stage -ge 6 ]; then
     --valid_data $valid_set/wav.scp,speech,sound \
     --valid_data $valid_set/text,text,text \
     --token_list $tokens --expdir $expdir/asr --stats_dir $expdir/stats \
-    --config $asr_config
+    --config $asr_config $tok_args
 fi
 
 if [ $stage -le 7 ] && [ $stop_stage -ge 7 ]; then

@@ -64,3 +64,22 @@ def test_bad_fs_raises():
     x = _speechlike(5)
     with pytest.raises(ValueError):
         pesq(x, x, 44100)
+
+
+def test_enh_scoring_pesq_resamples_odd_rates(tmp_path):
+    """--pesq at 22.05 kHz resamples to 16 kHz instead of mis-scaling."""
+    from espnet_tpu.bin import enh_scoring
+    from espnet_tpu.data.kaldi_io import write_scp
+    from espnet_tpu.data.wav import write_wav
+
+    x = _speechlike(9, fs=22050, dur=1.0).astype(np.float32)
+    write_wav(tmp_path / "r.wav", 22050, x)
+    write_wav(tmp_path / "e.wav", 22050, x)
+    write_scp(tmp_path / "ref.scp", {"u0": str(tmp_path / "r.wav")})
+    write_scp(tmp_path / "est.scp", {"u0": str(tmp_path / "e.wav")})
+    summary = enh_scoring.main([
+        "--ref_scp", str(tmp_path / "ref.scp"),
+        "--est_scp", str(tmp_path / "est.scp"),
+        "--output_dir", str(tmp_path / "score"), "--pesq",
+    ])
+    assert summary["pesq"] > 4.0  # identical signals → near max
