@@ -356,7 +356,7 @@ def main():
             bench_tacotron2_train(), 2
         )
     except Exception as e:
-        extra["tts_train_error"] = str(e)[:100]
+        extra["tacotron2_train_error"] = str(e)[:100]
 
     print(
         json.dumps(
@@ -388,8 +388,10 @@ def _watchdog(seconds: int = 3300):
                     "unit": "audio-seconds/s/chip",
                     "vs_baseline": 0.0,
                     "extra": {
-                        "error": "bench watchdog fired: device unreachable "
-                        "or compile stalled (tunnel wedge)"
+                        "error": "bench watchdog fired before the run "
+                        "completed: device unreachable or a compile "
+                        "stalled (tunnel wedge) — any metrics measured "
+                        "earlier in this run were lost with it",
                     },
                 }
             ),

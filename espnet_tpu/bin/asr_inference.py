@@ -68,6 +68,12 @@ class Speech2Text:
 
             if isinstance(dec, RNNDecoder):
                 scorers["decoder"] = rnn_decoder_scorer(dec, dec_vars, 1.0 - ctc_weight)
+            elif getattr(dec, "selfattn_layer_type", "selfattn") != "selfattn":
+                # conv-attention decoders have no KV cache — decode via
+                # the stateless full-prefix path (score_prefix)
+                scorers["decoder"] = transformer_decoder_scorer(
+                    dec, dec_vars, 1.0 - ctc_weight
+                )
             else:
                 # KV-cached fast path (verified identical to the
                 # stateless score_prefix path)

@@ -75,6 +75,9 @@ def main(argv=None):
         cleaner = TextCleaner([args.cleaner])
 
     if args.token_type == "bpe" and args.train_bpe:
+        if not args.bpemodel:
+            parser.error("--train_bpe true requires --bpemodel PATH "
+                         "(where the trained model is saved)")
         # spm_train analog over the (field-sliced, cleaned) input text
         from espnet_tpu.text.bpe import BPETokenizer
 

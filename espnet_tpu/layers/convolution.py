@@ -29,7 +29,8 @@ import jax.numpy as jnp
 class ConformerConvModule(nn.Module):
     kernel_size: int = 31
     use_batch_norm: bool = False
-    # None → auto: fused Pallas kernel on TPU when shapes allow
+    # True = fused Pallas kernel (opt-in; see _fused_ok); None/False =
+    # unfused XLA path
     use_fused: Optional[bool] = None
     dtype: type = jnp.float32
 
@@ -106,7 +107,7 @@ class ConformerConvModule(nn.Module):
         h = h2[..., :d] * jax.nn.sigmoid(h2[..., d:])
         h = (h * mask[:, :, None]).astype(cdtype)
         pad_l = k // 2
-        kernel = dwk.transpose(0, 1, 2).reshape(k, 1, d).astype(cdtype)
+        kernel = dwk.astype(cdtype)  # already (k, 1, d), nn.Conv layout
         c = jax.lax.conv_general_dilated(
             h,
             kernel,

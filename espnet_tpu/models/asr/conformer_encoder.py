@@ -28,8 +28,9 @@ class ConformerEncoderLayer(nn.Module):
     attention_dropout_rate: float = 0.0
     use_macaron: bool = True
     use_cnn: bool = True
-    # None → auto (fused Pallas conv module on TPU); the encoder forces
-    # False under sequence parallelism (opaque kernel would block GSPMD)
+    # fused Pallas conv module is OPT-IN (True); None/False = unfused
+    # XLA path (see layers/convolution.py _fused_ok for the rationale);
+    # the encoder forces False under sequence parallelism
     conv_use_fused: "bool | None" = None
     dtype: type = jnp.float32
 
@@ -99,6 +100,9 @@ class ConformerEncoder(nn.Module):
     # axes of these names (see __graft_entry__.dryrun_multichip).
     seq_axis: "str | None" = None
     batch_axis: str = "data"
+    # True = opt-in fused Pallas conv module (config: encoder_conf
+    # conv_use_fused); forced off under sequence parallelism
+    conv_use_fused: "bool | None" = None
     dtype: type = jnp.float32
 
     @nn.compact
@@ -142,7 +146,7 @@ class ConformerEncoder(nn.Module):
                 self.attention_dropout_rate,
                 self.use_macaron,
                 self.use_cnn,
-                conv_use_fused=False if self.seq_axis else None,
+                conv_use_fused=False if self.seq_axis else self.conv_use_fused,
                 dtype=self.dtype,
             )(xs, pos_emb, attn_mask, pad_mask, deterministic)
             xs = seq_shard(xs)

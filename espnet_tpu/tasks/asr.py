@@ -61,6 +61,22 @@ def _build_frontend(config):
     return None
 
 
+def _build_normalize(config, has_frontend: bool):
+    """normalize: global_mvn | utterance_mvn | none — shared by every
+    model branch so normalize_conf is honored uniformly."""
+    kind = config.get("normalize")
+    if kind == "global_mvn":
+        fd = (
+            config.get("frontend_conf", {}).get("n_mels", 80)
+            if has_frontend
+            else config.get("input_size", 80)
+        )
+        return GlobalMVN(feat_dim=fd, **config.get("normalize_conf", {}))
+    if kind == "utterance_mvn":
+        return UtteranceMVN(**config.get("normalize_conf", {}))
+    return None
+
+
 ENCODERS = {
     "transformer": TransformerEncoder,
     "conformer": ConformerEncoder,
@@ -134,14 +150,7 @@ def build_model(config: Dict[str, Any], vocab_size: int):
         t_frontend = None
         if config.get("frontend") in ("default", "beamformer"):
             t_frontend = _build_frontend(config)
-        t_normalize = None
-        if config.get("normalize") == "global_mvn":
-            fd = (
-                config.get("frontend_conf", {}).get("n_mels", 80)
-                if t_frontend is not None
-                else config.get("input_size", 80)
-            )
-            t_normalize = GlobalMVN(feat_dim=fd)
+        t_normalize = _build_normalize(config, t_frontend is not None)
         # drop defaults meant for the attention model (ctc_weight etc.)
         # that TransducerModel does not take
         t_fields = {f.name for f in dataclasses.fields(TransducerModel)}
@@ -160,16 +169,7 @@ def build_model(config: Dict[str, Any], vocab_size: int):
         p_frontend = None
         if config.get("frontend") in ("default", "beamformer"):
             p_frontend = _build_frontend(config)
-        p_normalize = None
-        if config.get("normalize") == "global_mvn":
-            fd = (
-                config.get("frontend_conf", {}).get("n_mels", 80)
-                if p_frontend is not None
-                else config.get("input_size", 80)
-            )
-            p_normalize = GlobalMVN(feat_dim=fd)
-        elif config.get("normalize") == "utterance_mvn":
-            p_normalize = UtteranceMVN()
+        p_normalize = _build_normalize(config, p_frontend is not None)
         return PITCTCASRModel(
             vocab_size=vocab_size, encoder_front=enc,
             encoder_branches=branches, n_spk=n_spk,
@@ -183,16 +183,7 @@ def build_model(config: Dict[str, Any], vocab_size: int):
         m_frontend = None
         if config.get("frontend") in ("default", "beamformer"):
             m_frontend = _build_frontend(config)
-        m_normalize = None
-        if config.get("normalize") == "global_mvn":
-            fd = (
-                config.get("frontend_conf", {}).get("n_mels", 80)
-                if m_frontend is not None
-                else config.get("input_size", 80)
-            )
-            m_normalize = GlobalMVN(feat_dim=fd)
-        elif config.get("normalize") == "utterance_mvn":
-            m_normalize = UtteranceMVN()
+        m_normalize = _build_normalize(config, m_frontend is not None)
         return MaskCTCModel(
             vocab_size=vocab_size, encoder=enc, decoder=dec,
             frontend=m_frontend, normalize=m_normalize, **model_conf
@@ -204,16 +195,7 @@ def build_model(config: Dict[str, Any], vocab_size: int):
     frontend = None
     if config.get("frontend") in ("default", "beamformer"):
         frontend = _build_frontend(config)
-    normalize = None
-    if config.get("normalize") == "global_mvn":
-        feat_dim = (
-            config.get("frontend_conf", {}).get("n_mels", 80)
-            if frontend is not None
-            else config["input_size"]
-        )
-        normalize = GlobalMVN(feat_dim=feat_dim, **config.get("normalize_conf", {}))
-    elif config.get("normalize") == "utterance_mvn":
-        normalize = UtteranceMVN(**config.get("normalize_conf", {}))
+    normalize = _build_normalize(config, frontend is not None)
     specaug_conf = tuple(
         (k, tuple(v) if isinstance(v, list) else v)
         for k, v in config.get("specaug_conf", {}).items()

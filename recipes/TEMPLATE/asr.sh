@@ -36,6 +36,7 @@ lm_weight=0.3
 beam_size=10
 ctc_weight=0.3
 decode_args=""
+decode_ckpt=""          # default: averaged n-best if present, else valid-best
 speed_perturb_factors=""
 python=python
 bpemodel=""
@@ -57,6 +58,7 @@ while [ $# -gt 0 ]; do
     --beam_size) beam_size=$2; shift 2;;
     --ctc_weight) ctc_weight=$2; shift 2;;
     --decode_args) decode_args=$2; shift 2;;
+    --decode_ckpt) decode_ckpt=$2; shift 2;;
     --speed_perturb_factors) speed_perturb_factors=$2; shift 2;;
     *) echo "unknown option $1"; exit 1;;
   esac
@@ -105,6 +107,9 @@ texts = dict(
 )
 out_scp, out_text = {}, {}
 for uid, path in scp.items():
+    if uid not in texts:
+        print(f"skip {uid}: no transcript")
+        continue
     fs, w = read_wav(path)
     for f in factors:
         suf = f"sp{f:g}-{uid}"
@@ -118,7 +123,7 @@ for uid, path in scp.items():
             p2 = wavdir / f"{suf}.wav"
             write_wav(p2, fs, w2)
             out_scp[suf] = str(p2)
-        out_text[suf] = texts.get(uid, "")
+        out_text[suf] = texts[uid]
 write_scp(dst / "wav.scp", out_scp)
 with open(dst / "text", "w") as fh:
     for k, v in out_text.items():
@@ -185,6 +190,13 @@ fi
 
 if [ $stage -le 7 ] && [ $stop_stage -ge 7 ]; then
   log "stage 7: decode + scoring"
+  # decode the averaged n-best model when the trainer wrote one
+  # (reference run.sh decodes avg snapshots for transformer models)
+  if [ -z "$decode_ckpt" ]; then
+    decode_ckpt=$(ls -1 $expdir/asr/avg_*best.ckpt 2>/dev/null | head -1)
+    [ -n "$decode_ckpt" ] || decode_ckpt=$expdir/asr/valid.loss.best.ckpt
+  fi
+  echo "decoding with $decode_ckpt"
   lm_args=""
   if [ -n "$lm_config" ] && [ -f $expdir/lm/valid.loss.best.ckpt ]; then
     lm_args="--lm_config $expdir/lm/config.yaml --lm_ckpt $expdir/lm/valid.loss.best.ckpt --lm_weight $lm_weight"
@@ -194,7 +206,7 @@ if [ $stage -le 7 ] && [ $stop_stage -ge 7 ]; then
     $python -m espnet_tpu.bin.asr_recog \
       --data $tset/wav.scp,speech,sound --text $tset/text \
       --config $expdir/asr/config.yaml \
-      --ckpt $expdir/asr/valid.loss.best.ckpt \
+      --ckpt $decode_ckpt \
       --output_dir $expdir/asr/decode_$name \
       --beam_size $beam_size --ctc_weight $ctc_weight --batch_size 8 \
       $lm_args $decode_args
