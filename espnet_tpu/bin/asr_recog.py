@@ -111,6 +111,7 @@ def main(argv=None):
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
     hyps = {}
+    nbest = {}
     keys = ds.keys
     for i in range(0, len(keys), args.batch_size):
         kb = keys[i: i + args.batch_size]
@@ -119,11 +120,22 @@ def main(argv=None):
         results = s2t(batch["speech"], batch["speech_lengths"])
         for k, nb in zip(kb, results):
             hyps[k] = nb[0][0]
+            nbest[k] = [
+                {"rec_text": txt, "rec_tokens": toks, "rec_tokenid": ids,
+                 "score": float(sc)}
+                for txt, toks, ids, sc in nb
+            ]
             logging.info("%s: %s", k, nb[0][0])
 
     with open(out / "text", "w") as f:
         for k, v in hyps.items():
             f.write(f"{k} {v}\n")
+    if args.nbest > 1:
+        # n-best hypotheses in the reference's result-json convention
+        # (asr_utils.add_results_to_json:808)
+        (out / "nbest.json").write_text(
+            json.dumps({"utts": nbest}, indent=1)
+        )
 
     if args.text:
         refs = read_scp(args.text)
