@@ -24,8 +24,12 @@ def main(argv=None):
     parser.add_argument("--data", action="append", default=[],
                         help="path,name,type triplet (speech source)")
     parser.add_argument("--text", default=None, help="reference text scp")
-    parser.add_argument("--config", required=True, help="train config.yaml")
-    parser.add_argument("--ckpt", required=True)
+    parser.add_argument("--config", default=None, help="train config.yaml")
+    parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--packed", default=None,
+                        help="packed model zip (bin/pack.py output) — "
+                        "unpacks and decodes from it; replaces "
+                        "--config/--ckpt")
     parser.add_argument("--output_dir", required=True)
     parser.add_argument("--beam_size", type=int, default=10)
     parser.add_argument("--ctc_weight", type=float, default=0.3)
@@ -57,6 +61,20 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+    if args.packed:
+        import tempfile
+
+        from espnet_tpu.bin.pack import unpack
+
+        d = Path(tempfile.mkdtemp(prefix="espnet_tpu_model_"))
+        unpack(args.packed, d)
+        cfgs = sorted(d.glob("*.yaml"))
+        ckpts = sorted(d.glob("*.ckpt"))
+        if not cfgs or not ckpts:
+            raise SystemExit(f"--packed archive lacks a .yaml/.ckpt: {d}")
+        args.config, args.ckpt = str(cfgs[0]), str(ckpts[0])
+    elif not (args.config and args.ckpt):
+        parser.error("--config/--ckpt (or --packed) required")
     from espnet_tpu.bin.asr_inference import Speech2Text
     from espnet_tpu.data.dataset import ESPnetDataset, common_collate
     from espnet_tpu.data.kaldi_io import read_scp

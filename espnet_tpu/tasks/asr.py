@@ -543,6 +543,12 @@ def build_model_from_file(config_file, ckpt_file):
         ylens = np.array([1], dtype=np.int32)
     variables = model.init(jax.random.PRNGKey(0), dummy, lens, ys, ylens)
     stats_npz = Path(config_file).parent / "feats_stats.npz"
+    if config.get("normalize") == "global_mvn" and not stats_npz.exists():
+        logger.warning(
+            "normalize: global_mvn but %s is missing — features will be "
+            "UN-normalized and decode quality will degrade (pack the "
+            "stats next to config.yaml)", stats_npz,
+        )
     if config.get("normalize") == "global_mvn" and stats_npz.exists():
         mean, std = load_feat_stats(stats_npz)
         variables = dict(variables)

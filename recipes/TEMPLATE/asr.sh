@@ -216,8 +216,13 @@ fi
 
 if [ $stage -le 8 ] && [ $stop_stage -ge 8 ]; then
   log "stage 8: pack model"
+  pack_files="$expdir/asr/config.yaml $expdir/asr/valid.loss.best.ckpt $tokens"
+  # normalization stats live next to config.yaml and are REQUIRED for
+  # decode-quality parity (build_model_from_file loads them from the
+  # config's directory)
+  [ -f $expdir/asr/feats_stats.npz ] && pack_files="$pack_files $expdir/asr/feats_stats.npz"
   $python -m espnet_tpu.bin.pack pack \
-    --files $expdir/asr/config.yaml $expdir/asr/valid.loss.best.ckpt $tokens \
+    --files $pack_files \
     --out $expdir/asr/model.zip || echo "pack skipped"
   log "done"
 fi
