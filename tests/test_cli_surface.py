@@ -394,3 +394,54 @@ def test_template_enh_driver(data, tmp_path):
     )
     assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
     assert (tmp_path / "exp/score_dset/summary.json").exists()
+
+
+@pytest.mark.slow
+def test_packed_model_and_nbest_decode(data, tmp_path):
+    """pack → asr_recog --packed reproduces direct decode; --nbest>1
+    writes the result-json convention."""
+    exp = tmp_path / "asr_p"
+    stats = tmp_path / "stats_p"
+    fc = '{"fs": 8000, "n_fft": 256, "hop_length": 128, "n_mels": 10}'
+    common = [
+        "--train_data", f"{data}/wav.scp,speech,sound",
+        "--train_data", f"{data}/src_text,text,text",
+        "--token_list", f"{data}/tokens.txt",
+        "--frontend", "default", "--frontend_conf", fc,
+        "--normalize", "global_mvn",
+        "--encoder", "rnn",
+        "--encoder_conf", '{"elayers": 1, "eunits": 16, "eprojs": 16}',
+        "--decoder", "rnn",
+        "--decoder_conf", '{"dunits": 16, "dlayers": 1, "att_dim": 8, "aconv_chans": 2, "aconv_filts": 3}',
+    ]
+    run_cli("asr_train", *common, "--collect_stats", "true",
+            "--stats_dir", stats, "--expdir", exp)
+    run_cli("asr_train", *common,
+            "--valid_data", f"{data}/wav.scp,speech,sound",
+            "--valid_data", f"{data}/src_text,text,text",
+            "--expdir", exp, "--stats_dir", stats,
+            "--max_epoch", 2, "--batch_size", 3)
+    run_cli("pack", "pack", "--files", exp / "config.yaml",
+            exp / "latest.ckpt", exp / "feats_stats.npz",
+            f"{data}/tokens.txt", "--out", tmp_path / "model.zip")
+    # direct decode
+    run_cli("asr_recog",
+            "--data", f"{data}/wav.scp,speech,sound",
+            "--text", f"{data}/src_text",
+            "--config", exp / "config.yaml", "--ckpt", exp / "latest.ckpt",
+            "--output_dir", exp / "dec_direct", "--beam_size", 3,
+            "--ctc_weight", 0.5, "--nbest", 2, "--batch_size", 3)
+    # packed decode must produce identical hypotheses
+    run_cli("asr_recog",
+            "--data", f"{data}/wav.scp,speech,sound",
+            "--text", f"{data}/src_text",
+            "--packed", tmp_path / "model.zip",
+            "--output_dir", exp / "dec_packed", "--beam_size", 3,
+            "--ctc_weight", 0.5, "--batch_size", 3)
+    direct = (exp / "dec_direct" / "text").read_text()
+    packed = (exp / "dec_packed" / "text").read_text()
+    assert direct == packed
+    import json as _json
+    nb = _json.loads((exp / "dec_direct" / "nbest.json").read_text())
+    first = next(iter(nb["utts"].values()))
+    assert len(first) == 2 and "rec_text" in first[0] and "score" in first[0]
