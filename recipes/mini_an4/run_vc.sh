@@ -7,6 +7,10 @@
 # parallel two-speaker corpora (arctic-style) for a real conversion task.
 #
 #   ./run_vc.sh [--stage N] [--stop_stage M] [--vc_model tacotron2|transformer]
+# NOTE: the transformer (VTN) variant trains through this recipe, but its
+# autoregressive inference re-runs a growing prefix per frame (no scan),
+# so full-utterance CPU decode is slow — use tacotron2 for the decode
+# stage on CPU, or small maxlenratio.
 set -euo pipefail
 cd "$(dirname "$0")"
 export PYTHONPATH="$(cd ../..; pwd):${PYTHONPATH:-}"
