@@ -47,7 +47,8 @@ class ConformerConvModule(nn.Module):
         if not self.use_fused:
             return False
         return (
-            not self.use_batch_norm
+            jax.default_backend() == "tpu"
+            and not self.use_batch_norm
             and d % 128 == 0
             and t % 8 == 0
             # per-row VMEM: x/out (t·d) + h2 (t·2d) + weights (~3d²)
