@@ -1,8 +1,27 @@
-"""Benchmark suite (driver-facing): one JSON line, primary metric =
-Conformer hybrid CTC/attention train throughput in audio-seconds of
-speech processed per wall-second per chip; `extra` carries the other
-driver-visible metrics (MFU, greedy-decode RTF, transducer train
-throughput, RNN-T Pallas kernel speedup).
+"""Benchmark suite (driver-facing). Primary metric = Conformer hybrid
+CTC/attention train throughput in audio-seconds of speech processed per
+wall-second per chip; `extra` carries the other driver-visible metrics
+(MFU, greedy-decode RTF, transducer train throughput, RNN-T Pallas
+kernel speedup, LM tokens/s, Tacotron2 throughput).
+
+Wedge-proof architecture (round-2 lesson: a stalled remote Mosaic
+compile can hang even `jax.devices()`, and the driver's window is
+shorter than a hung bench):
+
+- the PARENT process (default entry) never imports jax. It (1) health-
+  probes the chip in a killable subprocess, (2) runs the benches in a
+  killable child (`bench.py --child`), (3) SIGKILLs the child's process
+  group at a hard deadline, and (4) always ends with a parseable JSON
+  line on stdout.
+- the CHILD prints the primary-metric JSON line IMMEDIATELY after the
+  conformer bench, then re-prints a cumulative line after each extra
+  phase, so whatever cuts the run short, the most complete measurement
+  so far is already on stdout (the parent forwards each line as it
+  arrives; the LAST JSON line is the most complete).
+- extras are attempted newest-measurement-first only while budget
+  remains; a skipped phase is recorded as "skipped (budget)".
+
+Total wall budget ≤ 900 s (preflight ≤ 120 s + child ≤ 760 s).
 
 The reference publishes no throughput numbers (BASELINE.md), so
 vs_baseline is the real-time factor (audio-seconds/s ÷ 1.0).
@@ -10,6 +29,8 @@ vs_baseline is the real-time factor (audio-seconds/s ÷ 1.0).
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -41,7 +62,10 @@ def bench_conformer_train():
 
     vocab = 500
     b, t, l = 128, 512, 24
-    model = g._flagship(vocab, dtype=jnp.bfloat16)
+    tiny = bool(os.environ.get("ESPNET_BENCH_TINY"))
+    if tiny:  # harness self-test on CPU: exercise the full flow fast
+        b, t, l = 4, 64, 8
+    model = g._flagship(vocab, tiny=tiny, dtype=jnp.bfloat16)
     feats, ilens, ys, ylens = g._example_batch(b=b, t=t, d=80, l=l, vocab=vocab)
     variables = model.init(
         jax.random.PRNGKey(0), feats[:1], ilens[:1], ys[:1], ylens[:1]
@@ -319,90 +343,182 @@ def bench_tacotron2_train():
     return b * t_dec / fps / dt / max(jax.device_count(), 1)
 
 
-def main():
+def _result_json(value: float, extra: dict) -> str:
+    return json.dumps(
+        {
+            "metric": "conformer_train_throughput_audio_sec_per_s_per_chip",
+            "value": round(value, 2),
+            "unit": "audio-seconds/s/chip",
+            "vs_baseline": round(value, 2),
+            "extra": extra,
+        }
+    )
+
+
+def child_main(deadline: float):
+    """Run the benches; print a cumulative JSON line after the primary
+    bench and after every extra phase (stdout, flushed)."""
+    from espnet_tpu.utils.env import apply_jax_platform_env, enable_fast_tpu_rng
+
+    apply_jax_platform_env()  # honor JAX_PLATFORMS over sitecustomize
     import jax
 
-    from espnet_tpu.utils.env import enable_fast_tpu_rng
-
+    try:  # persistent compile cache: warm repeated runs (no-op if the
+        # backend compiles remotely and ignores it)
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     enable_fast_tpu_rng()
+
     per_chip, mfu, model, variables, batch = bench_conformer_train()
     extra = {}
     if mfu is not None:
         extra["train_mfu_pct"] = round(mfu, 2)
-    try:
-        extra["greedy_ctc_decode_rtf"] = round(
-            bench_greedy_decode_rtf(model, variables, batch), 6
-        )
-    except Exception as e:  # keep the primary metric robust
-        extra["greedy_ctc_decode_rtf_error"] = str(e)[:100]
-    try:
-        extra["transducer_train_audio_s_per_s_per_chip"] = round(
-            bench_transducer_train(), 2
-        )
-    except Exception as e:
-        extra["transducer_error"] = str(e)[:100]
-    try:
-        sp = bench_rnnt_kernel()
-        if sp is not None:
-            extra["rnnt_pallas_fwdbwd_speedup"] = round(sp, 2)
-    except Exception as e:
-        extra["rnnt_kernel_error"] = str(e)[:100]
-    try:
-        extra["lm_train_tokens_per_s_per_chip"] = round(bench_lm_train(), 0)
-    except Exception as e:
-        extra["lm_train_error"] = str(e)[:100]
-    try:
-        extra["tacotron2_train_audio_s_per_s_per_chip"] = round(
-            bench_tacotron2_train(), 2
-        )
-    except Exception as e:
-        extra["tacotron2_train_error"] = str(e)[:100]
+    print(_result_json(per_chip, extra), flush=True)  # primary, immediately
 
-    print(
-        json.dumps(
-            {
-                "metric": "conformer_train_throughput_audio_sec_per_s_per_chip",
-                "value": round(per_chip, 2),
-                "unit": "audio-seconds/s/chip",
-                "vs_baseline": round(per_chip, 2),
-                "extra": extra,
-            }
-        )
+    def remaining():
+        return deadline - time.time()
+
+    phases = [
+        (
+            "greedy_ctc_decode_rtf",
+            lambda: round(bench_greedy_decode_rtf(model, variables, batch), 6),
+            60,
+        ),
+        ("rnnt_pallas_fwdbwd_speedup", lambda: _round_opt(bench_rnnt_kernel()), 60),
+        (
+            "transducer_train_audio_s_per_s_per_chip",
+            lambda: round(bench_transducer_train(), 2),
+            120,
+        ),
+        (
+            "lm_train_tokens_per_s_per_chip",
+            lambda: round(bench_lm_train(), 0),
+            120,
+        ),
+        (
+            "tacotron2_train_audio_s_per_s_per_chip",
+            lambda: round(bench_tacotron2_train(), 2),
+            120,
+        ),
+    ]
+    for name, fn, need_s in phases:
+        if remaining() < need_s:
+            extra[name + "_note"] = "skipped (budget)"
+        else:
+            try:
+                val = fn()
+                if val is not None:
+                    extra[name] = val
+            except Exception as e:  # keep the primary metric robust
+                extra[name + "_error"] = str(e)[:100]
+        print(_result_json(per_chip, extra), flush=True)  # cumulative
+
+
+def _round_opt(v):
+    return None if v is None else round(v, 2)
+
+
+def _preflight(timeout_s: int = 120) -> str | None:
+    """Probe the device in a killable subprocess (a wedged tunnel hangs
+    even jax.devices()). Returns None if healthy, else an error string."""
+    import subprocess
+
+    probe = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from espnet_tpu.utils.env import apply_jax_platform_env\n"
+        "apply_jax_platform_env()\n"  # honor JAX_PLATFORMS over sitecustomize
+        "import jax, jax.numpy as jnp\n"
+        "d = jax.devices()\n"
+        "v = float(jnp.sum(jnp.ones((128, 128))))\n"
+        "print(f'HEALTHY {d[0].platform} {len(d)} {v}')\n"
     )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-u", "-c", probe],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return (
+            f"preflight: no device response within {timeout_s}s — tunnel "
+            "wedged (stalled server-side compile holds the grant)"
+        )
+    if "HEALTHY" in r.stdout:
+        return None
+    tail = (r.stdout + r.stderr).strip().splitlines()[-3:]
+    return f"preflight backend error rc={r.returncode}: " + " | ".join(tail)
 
 
-def _watchdog(seconds: int = 3300):
-    """Emit an honest error JSON instead of hanging forever if the
-    device becomes unreachable (a stalled remote compile can wedge the
-    tunnel — see docs/BENCHMARKS.md and the verify skill); the driver
-    then records a failed bench rather than timing out silently."""
-    import os
+def main():
+    """Parent: never imports jax; always ends with a JSON line on stdout."""
     import signal
+    import subprocess
+    import threading
 
-    def _abort(signum, frame):
+    budget_s = int(os.environ.get("ESPNET_BENCH_BUDGET_S", "760"))
+    err = _preflight()
+    if err is not None:
+        print(_result_json(0.0, {"error": err}), flush=True)
+        return 2
+
+    deadline = time.time() + budget_s
+    child = subprocess.Popen(
+        [sys.executable, "-u", __file__, "--child", str(deadline)],
+        stdout=subprocess.PIPE,
+        stderr=sys.stderr,
+        text=True,
+        start_new_session=True,  # killpg reaches any grandchildren
+    )
+    seen: list[str] = []
+
+    def reader():
+        assert child.stdout is not None
+        for line in child.stdout:
+            line = line.rstrip("\n")
+            if line.startswith("{"):
+                try:
+                    obj = json.loads(line)
+                except ValueError:
+                    obj = None
+                if isinstance(obj, dict) and "metric" in obj:
+                    seen.append(line)
+                    print(line, flush=True)  # forward as soon as measured
+                    continue
+            print(line, file=sys.stderr, flush=True)
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        child.wait(timeout=budget_s + 30)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+        except Exception:
+            pass
+        child.wait()
+    t.join(timeout=10)
+
+    if not seen:
         print(
-            json.dumps(
+            _result_json(
+                0.0,
                 {
-                    "metric": "conformer_train_throughput_audio_sec_per_s_per_chip",
-                    "value": 0.0,
-                    "unit": "audio-seconds/s/chip",
-                    "vs_baseline": 0.0,
-                    "extra": {
-                        "error": "bench watchdog fired before the run "
-                        "completed: device unreachable or a compile "
-                        "stalled (tunnel wedge) — any metrics measured "
-                        "earlier in this run were lost with it",
-                    },
-                }
+                    "error": "bench child produced no metric within "
+                    f"{budget_s}s (rc={child.returncode}) — likely a "
+                    "stalled remote compile; child was SIGKILLed"
+                },
             ),
             flush=True,
         )
-        os._exit(2)
-
-    signal.signal(signal.SIGALRM, _abort)
-    signal.alarm(seconds)
+        return 2
+    return 0
 
 
 if __name__ == "__main__":
-    _watchdog()
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child_main(float(sys.argv[2]))
+    else:
+        sys.exit(main())
