@@ -32,6 +32,10 @@ class ConformerEncoderLayer(nn.Module):
     # XLA path (see layers/convolution.py _fused_ok for the rationale);
     # the encoder forces False under sequence parallelism
     conv_use_fused: "bool | None" = None
+    # True restores the reference's BatchNorm inside the conv module
+    # (conformer/convolution.py:46) for exact-parity runs; default stays
+    # GroupNorm(1) (see layers/convolution.py docstring)
+    conv_use_batch_norm: bool = False
     dtype: type = jnp.float32
 
     @nn.compact
@@ -61,6 +65,7 @@ class ConformerEncoderLayer(nn.Module):
             x = nn.LayerNorm(dtype=self.dtype)(x)
             x = ConformerConvModule(
                 self.cnn_kernel,
+                use_batch_norm=self.conv_use_batch_norm,
                 use_fused=self.conv_use_fused,
                 dtype=self.dtype,
             )(x, pad_mask, deterministic=deterministic)
