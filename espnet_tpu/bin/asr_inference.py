@@ -47,6 +47,7 @@ class Speech2Text:
         minlenratio: float = 0.0,
         nbest: int = 1,
         space_symbol: str = "<space>",
+        stop_criterion: str = "dominance",
     ):
         self.model = model
         self.variables = variables
@@ -104,6 +105,7 @@ class Speech2Text:
                 beam_size=beam_size,
                 ctc_weight=ctc_weight,
                 length_bonus=penalty,
+                stop_criterion=stop_criterion,
             )
         self._encode = jax.jit(
             lambda speech, lens: model.apply(
@@ -138,10 +140,33 @@ class Speech2Text:
             max(1, int(self.maxlenratio * t_enc)) if self.maxlenratio > 0 else t_enc
         )
         minlen = int(self.minlenratio * t_enc)
-        yseq, ylen, scores = self.beam_search(
-            hs, hlens, ctc_logp=ctc_logp, maxlen=maxlen, minlen=minlen
+        yseq, ylen, scores, finished = self.beam_search(
+            hs, hlens, ctc_logp=ctc_logp, maxlen=maxlen, minlen=minlen,
+            return_finished=True,
         )
-        yseq, ylen, scores = map(np.asarray, (yseq, ylen, scores))
+        yseq, ylen, scores, finished = (
+            np.array(x) for x in (yseq, ylen, scores, finished)
+        )  # np.array: writable copies (the retry merge assigns rows)
+        # reference retry semantics (beam_search.py:387-391): when an
+        # utterance produced no eos-ended hypothesis, re-run with
+        # minlenratio reduced by 0.1 steps. Where the reference finally
+        # returns [] (ratio < 0.1), we keep the forced-close fallback
+        # hypotheses instead of emitting nothing.
+        ratio = self.minlenratio
+        while not finished.all() and ratio >= 0.1 and minlen > 0:
+            ratio = max(0.0, ratio - 0.1)
+            minlen = int(ratio * t_enc)
+            logger.warning(
+                "%d utt(s) had no finished hypothesis; retrying with "
+                "minlenratio %.1f", int((~finished).sum()), ratio,
+            )
+            y2, l2, s2, f2 = map(np.asarray, self.beam_search(
+                hs, hlens, ctc_logp=ctc_logp, maxlen=maxlen, minlen=minlen,
+                return_finished=True,
+            ))
+            redo = ~finished
+            yseq[redo], ylen[redo], scores[redo] = y2[redo], l2[redo], s2[redo]
+            finished = finished | f2
         results = []
         for b in range(yseq.shape[0]):
             nb = []

@@ -36,6 +36,10 @@ def main(argv=None):
     parser.add_argument("--penalty", type=float, default=0.0)
     parser.add_argument("--maxlenratio", type=float, default=0.0)
     parser.add_argument("--minlenratio", type=float, default=0.0)
+    parser.add_argument("--stop_criterion", default="dominance",
+                        choices=["dominance", "end_detect"],
+                        help="beam stopping rule: dominance bound or the "
+                        "reference's end_detect (e2e_asr_common.py:21)")
     parser.add_argument("--nbest", type=int, default=1)
     parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("--lm_config", default=None)
@@ -62,17 +66,33 @@ def main(argv=None):
 
     logging.basicConfig(level=logging.INFO)
     if args.packed:
+        import atexit
+        import shutil
         import tempfile
 
         from espnet_tpu.bin.pack import unpack
 
         d = Path(tempfile.mkdtemp(prefix="espnet_tpu_model_"))
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
         unpack(args.packed, d)
-        cfgs = sorted(d.glob("*.yaml"))
-        ckpts = sorted(d.glob("*.ckpt"))
-        if not cfgs or not ckpts:
-            raise SystemExit(f"--packed archive lacks a .yaml/.ckpt: {d}")
-        args.config, args.ckpt = str(cfgs[0]), str(ckpts[0])
+
+        def _pick(pats, what):
+            # prefer the canonical name; error on ambiguity (a packed LM
+            # config must not silently win over the ASR one)
+            for pat in pats:
+                hits = sorted(d.glob(pat))
+                if len(hits) == 1:
+                    return str(hits[0])
+                if len(hits) > 1:
+                    raise SystemExit(
+                        f"--packed archive has multiple {what} candidates "
+                        f"({[h.name for h in hits]}); repack with one "
+                        f"canonical {what} or pass --config/--ckpt directly"
+                    )
+            raise SystemExit(f"--packed archive lacks a {what}: {d}")
+
+        args.config = _pick(["config.yaml", "*.yaml"], "config")
+        args.ckpt = _pick(["model.ckpt", "*.ckpt"], "checkpoint")
     elif not (args.config and args.ckpt):
         parser.error("--config/--ckpt (or --packed) required")
     from espnet_tpu.bin.asr_inference import Speech2Text
@@ -116,6 +136,7 @@ def main(argv=None):
         penalty=args.penalty,
         maxlenratio=args.maxlenratio,
         minlenratio=args.minlenratio,
+        stop_criterion=args.stop_criterion,
         nbest=args.nbest,
         lm=lm,
         lm_variables=lm_vars,
@@ -138,8 +159,11 @@ def main(argv=None):
         results = s2t(batch["speech"], batch["speech_lengths"])
         for k, nb in zip(kb, results):
             hyps[k] = nb[0][0]
+            # reference result-json convention (asr_utils.parse_hypothesis):
+            # rec_token / rec_tokenid are space-joined strings
             nbest[k] = [
-                {"rec_text": txt, "rec_tokens": toks, "rec_tokenid": ids,
+                {"rec_text": txt, "rec_token": " ".join(toks),
+                 "rec_tokenid": " ".join(str(i) for i in ids),
                  "score": float(sc)}
                 for txt, toks, ids, sc in nb
             ]

@@ -42,6 +42,62 @@ def label_smoothing_loss(
     return loss_tok.sum() / denom
 
 
+def label_smoothing_dist(
+    vocab_size: int,
+    token_id_seqs,
+    blank: int = 0,
+    eos: int | None = None,
+) -> "jnp.ndarray":
+    """Corpus-unigram label distribution for RNN-decoder loss smoothing
+    (reference: espnet/nets/e2e_asr_common.py:55 label_smoothing_dist,
+    lsm_type='unigram').
+
+    Counts token occurrences over the training transcripts, adds one
+    <eos> per utterance, floors zero counts to 1, zeroes the blank, and
+    normalizes. Host-side numpy; returns float32 (V,)."""
+    import numpy as np
+
+    eos = vocab_size - 1 if eos is None else eos
+    counts = np.zeros(vocab_size, dtype=np.float64)
+    n_utts = 0
+    for ids in token_id_seqs:
+        ids = np.asarray(ids, dtype=np.int64)
+        if ids.size:
+            np.add.at(counts, ids, 1.0)
+        n_utts += 1
+    counts[eos] += n_utts
+    counts[counts == 0] = 1.0
+    counts[blank] = 0.0
+    return (counts / counts.sum()).astype("float32")
+
+
+def unigram_label_smoothing_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    target_lengths: jnp.ndarray,
+    labeldist: jnp.ndarray,
+    lsm_weight: float,
+    ignore_id: int = -1,
+) -> jnp.ndarray:
+    """RNN-decoder attention loss with the corpus-unigram KL regularizer
+    (reference: espnet/nets/pytorch_backend/rnn/decoders.py:268-309).
+
+    loss = (1-w)·CE + w·loss_reg where CE is the token-mean cross
+    entropy scaled by the mean label length (the reference's
+    `self.loss *= np.mean([len(x) for x in ys_in]) - 1`), and
+    loss_reg = -Σ log_softmax(logits)·labeldist / B summed over ALL
+    positions including padding (the reference's `.view(-1)` applies no
+    mask — kept for exact parity)."""
+    ce_tok = label_smoothing_loss(
+        logits, targets, smoothing=0.0, ignore_id=ignore_id,
+        normalize_length=True,
+    )
+    ce = ce_tok * jnp.mean(target_lengths.astype(logits.dtype))
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    loss_reg = -(logp * labeldist).sum() / logits.shape[0]
+    return (1.0 - lsm_weight) * ce + lsm_weight * loss_reg
+
+
 def accuracy(logits: jnp.ndarray, targets: jnp.ndarray, ignore_id: int = -1) -> jnp.ndarray:
     """Token accuracy (reference nets_utils.th_accuracy:299)."""
     pred = jnp.argmax(logits, axis=-1)

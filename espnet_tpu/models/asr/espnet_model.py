@@ -47,6 +47,11 @@ class ASRModel(nn.Module):
     normalize: Optional[nn.Module] = None
     ctc_weight: float = 0.5
     lsm_weight: float = 0.0
+    # corpus-unigram smoothing (reference lsm_type='unigram',
+    # e2e_asr_common.py:55): non-empty labeldist switches the attention
+    # loss to the RNN-decoder KL-regularizer mix (decoders.py:303-309)
+    lsm_type: str = ""
+    labeldist: Tuple[float, ...] = ()
     ignore_id: int = -1
     use_specaug: bool = False
     specaug_conf: Optional[Tuple[Tuple[str, Any], ...]] = None
@@ -113,13 +118,27 @@ class ASRModel(nn.Module):
             logits = self.decoder(
                 hs, hlens, ys_in, text_lengths + 1, deterministic=deterministic
             )
-            loss_att = label_smoothing_loss(
-                logits,
-                ys_out,
-                smoothing=self.lsm_weight,
-                ignore_id=self.ignore_id,
-                normalize_length=self.length_normalized_loss,
-            )
+            if self.lsm_type == "unigram" and self.labeldist:
+                from espnet_tpu.losses.label_smoothing import (
+                    unigram_label_smoothing_loss,
+                )
+
+                loss_att = unigram_label_smoothing_loss(
+                    logits,
+                    ys_out,
+                    text_lengths,
+                    jnp.asarray(self.labeldist, dtype=jnp.float32),
+                    self.lsm_weight,
+                    ignore_id=self.ignore_id,
+                )
+            else:
+                loss_att = label_smoothing_loss(
+                    logits,
+                    ys_out,
+                    smoothing=self.lsm_weight,
+                    ignore_id=self.ignore_id,
+                    normalize_length=self.length_normalized_loss,
+                )
             stats["loss_att"] = loss_att
             stats["acc"] = accuracy(logits, ys_out, self.ignore_id)
 

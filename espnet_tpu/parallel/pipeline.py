@@ -20,10 +20,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # jax>=0.4.35 moved shard_map
-    from jax.experimental.shard_map import shard_map
+try:  # jax>=0.4.35: shard_map lives at jax.shard_map (the experimental
+    # path still imports on jax 0.8 but warns on use)
+    from jax import shard_map
 except ImportError:  # pragma: no cover
-    from jax.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map
 
 
 def gpipe(

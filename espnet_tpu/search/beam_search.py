@@ -58,6 +58,9 @@ class BeamState(NamedTuple):
     fin_yseq: jnp.ndarray        # (B, W, L)
     fin_ylen: jnp.ndarray
     fin_scores: jnp.ndarray      # (B, W)
+    # end_detect mode only: best newly-finished score of each of the
+    # last M steps (B, M); NEG_INF = no hyp ended at that length
+    fin_recent: Optional[jnp.ndarray] = None
 
 
 def _gather_tree(tree: Any, idx: jnp.ndarray) -> Any:
@@ -76,6 +79,9 @@ class BeamSearch:
         pre_beam_size: Optional[int] = None,
         length_bonus: float = 0.0,
         blank: int = 0,
+        stop_criterion: str = "dominance",
+        end_detect_m: int = 3,
+        end_detect_d: float = -10.0,
     ):
         self.full_scorers = full_scorers
         self.vocab_size = vocab_size
@@ -88,6 +94,16 @@ class BeamSearch:
         )
         self.length_bonus = length_bonus
         self.blank = blank
+        # "dominance" (default): stop when no alive hyp can beat the
+        # worst finished one. "end_detect": the reference's Eq.(50) rule
+        # (e2e_asr_common.py:21) — stop once the best hyp ended at each
+        # of the last M lengths trails the global best by more than
+        # |D_end|; lengths with no ended hyp block the stop.
+        if stop_criterion not in ("dominance", "end_detect"):
+            raise ValueError(f"unknown stop_criterion: {stop_criterion}")
+        self.stop_criterion = stop_criterion
+        self.end_detect_m = end_detect_m
+        self.end_detect_d = end_detect_d
 
     # -- main entry ----------------------------------------------------
     def __call__(
@@ -97,9 +113,14 @@ class BeamSearch:
         ctc_logp: Optional[jnp.ndarray] = None,  # (B, T, V)
         maxlen: Optional[int] = None,
         minlen: int = 0,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        return_finished: bool = False,
+    ) -> Tuple[jnp.ndarray, ...]:
         """Run search. Returns (yseq (B, W, L), ylens (B, W), scores (B, W))
-        sorted best-first, eos-terminated, sos at position 0."""
+        sorted best-first, eos-terminated, sos at position 0. With
+        return_finished=True, appends a (B,) bool mask: True where the
+        entry produced at least one properly eos-ended hypothesis
+        (False = forced close; reference retries with lower minlenratio,
+        beam_search.py:387-391)."""
         b, t_enc, _ = memory.shape
         w = self.beam
         n = b * w
@@ -138,11 +159,25 @@ class BeamSearch:
             fin_yseq=yseq,
             fin_ylen=jnp.ones((b, w), jnp.int32),
             fin_scores=jnp.full((b, w), NEG_INF),
+            fin_recent=(
+                jnp.full((b, self.end_detect_m), NEG_INF)
+                if self.stop_criterion == "end_detect"
+                else None
+            ),
         )
 
         def cond(st: BeamState):
-            # continue while under maxlen (+1 final eos-only harvest step)
-            # and some alive hyp could still beat the worst finished one
+            if self.stop_criterion == "end_detect":
+                # reference end_detect: all of the last M lengths have
+                # ended hyps AND each trails the global best by > |D|
+                best = st.fin_scores.max(axis=1)
+                exists = st.fin_recent > NEG_INF / 2
+                bad = (st.fin_recent - best[:, None]) < self.end_detect_d
+                ended = (exists & bad).all(axis=1)  # (B,)
+                return (st.step < maxlen + 1) & ~ended.all()
+            # dominance (default): continue while under maxlen (+1 final
+            # eos-only harvest step) and some alive hyp could still beat
+            # the worst finished one
             alive_best = st.scores.max(axis=1)
             fin_worst = st.fin_scores.min(axis=1)
             improvable = (alive_best + self.length_bonus * maxlen >= fin_worst).any()
@@ -156,11 +191,14 @@ class BeamSearch:
         state = jax.lax.while_loop(cond, body, state)
 
         # merge any still-alive hyps as forcibly-ended candidates
+        has_fin = (state.fin_scores > NEG_INF / 2).any(axis=1)
         state = self._finalize(state, b, w, l)
         order = jnp.argsort(-state.fin_scores, axis=1)
         fin_yseq = jnp.take_along_axis(state.fin_yseq, order[..., None], axis=1)
         fin_ylen = jnp.take_along_axis(state.fin_ylen, order, axis=1)
         fin_scores = jnp.take_along_axis(state.fin_scores, order, axis=1)
+        if return_finished:
+            return fin_yseq, fin_ylen, fin_scores, has_fin
         return fin_yseq, fin_ylen, fin_scores
 
     # -- one step ------------------------------------------------------
@@ -263,6 +301,13 @@ class BeamSearch:
                 new_ctc_cand, flat_hyp, sel_cand_flat
             )
 
+        fin_recent = st.fin_recent
+        if fin_recent is not None:  # end_detect bookkeeping
+            best_new_fin = fin_cand.max(axis=1)  # (B,) this step's length
+            fin_recent = jnp.concatenate(
+                [fin_recent[:, 1:], best_new_fin[:, None]], axis=1
+            )
+
         return BeamState(
             step=st.step + 1,
             yseq=new_yseq,
@@ -273,6 +318,7 @@ class BeamSearch:
             fin_yseq=fin_yseq,
             fin_ylen=fin_ylen,
             fin_scores=fin_top,
+            fin_recent=fin_recent,
         )
 
     def _finalize(self, st: BeamState, b, w, l) -> BeamState:

@@ -200,6 +200,8 @@ def build_model(config: Dict[str, Any], vocab_size: int):
         (k, tuple(v) if isinstance(v, list) else v)
         for k, v in config.get("specaug_conf", {}).items()
     )
+    if "labeldist" in model_conf:  # yaml round-trips it as a list
+        model_conf["labeldist"] = tuple(model_conf["labeldist"])
     return ASRModel(
         vocab_size=vocab_size,
         encoder=enc,
@@ -335,6 +337,27 @@ def train(
             t for t in Path(token_list).read_text().splitlines() if t
         ]
     vocab = len(token_list)
+    mc = config.get("model_conf", {}) or {}
+    if mc.get("lsm_type") == "unigram" and not mc.get("labeldist"):
+        # corpus-unigram smoothing dist from the training transcripts
+        # (reference e2e_asr_common.py:55; computed once, saved in
+        # config.yaml so decode-time rebuilds don't recompute)
+        from espnet_tpu.losses.label_smoothing import label_smoothing_dist
+
+        pre0 = build_preprocessor(config, token_list)
+        text_path = next(p for p, name, _ in train_data if name == "text")
+        seqs = []
+        for line in Path(text_path).read_text().splitlines():
+            parts = line.split(" ", 1)
+            if len(parts) == 2 and parts[1].strip():
+                seqs.append(
+                    pre0.converter.tokens2ids(
+                        pre0.tokenizer.text2tokens(parts[1])
+                    )
+                )
+        ld = label_smoothing_dist(vocab, seqs)
+        mc["labeldist"] = tuple(float(x) for x in ld)
+        config["model_conf"] = mc
     model = build_model(config, vocab)
     tx = build_tx(config)
     pre = build_preprocessor(config, token_list)

@@ -139,12 +139,10 @@ class Trainer:
         from espnet_tpu.data.prefetch import prefetch
 
         for epoch in range(self.start_epoch, self.max_epoch + 1):
-            state = self.train_one_epoch(
-                state, prefetch(train_iter_factory(epoch)), epoch
-            )
-            self.validate_one_epoch(
-                state, prefetch(valid_iter_factory(epoch)), epoch
-            )
+            with prefetch(train_iter_factory(epoch)) as it:
+                state = self.train_one_epoch(state, it, epoch)
+            with prefetch(valid_iter_factory(epoch)) as it:
+                self.validate_one_epoch(state, it, epoch)
 
             # checkpoint + best bookkeeping (rank-0 semantics: single ctrl)
             if jax.process_index() == 0:

@@ -1,0 +1,147 @@
+#!/usr/bin/env bash
+# synth1k — the learning-evidence recipe (VERDICT r2 #2): a 1.5k-utt
+# formant-synthesized spelled-word corpus with HELD-OUT speakers, big
+# enough to show reference-shaped accuracy behavior (falling held-out
+# WER, LM-fusion/beam/ctc_weight ablations moving WER the way
+# egs/an4/asr1/RESULTS documents).
+#
+#   ./run.sh [--stage N] [--stop_stage M] [--arch conformer|transformer|transducer]
+#
+# Stages: 0 data gen | 1 stats | 2 LM | 3 train | 4 decode+score
+#         5 decode ablations | 6 learning curve (375/750/1500)
+set -euo pipefail
+cd "$(dirname "$0")"
+export PYTHONPATH="$(cd ../..; pwd):${PYTHONPATH:-}"
+
+stage=0
+stop_stage=6
+arch=conformer
+expdir=exp
+datadir=data
+while [ $# -gt 0 ]; do
+  case "$1" in
+    --stage) stage=$2; shift 2;;
+    --stop_stage) stop_stage=$2; shift 2;;
+    --arch) arch=$2; shift 2;;
+    *) echo "unknown option $1"; exit 1;;
+  esac
+done
+
+train_set=$datadir/train
+dev_set=$datadir/dev
+test_set=$datadir/test
+tokens=$datadir/tokens.txt
+conf=conf/train_${arch}.yaml
+asrdir=$expdir/asr_${arch}
+
+decode_opts_common="--batch_size 16"
+
+if [ $stage -le 0 ] && [ $stop_stage -ge 0 ]; then
+  echo "=== stage 0: data generation (1500/150/150, held-out speakers)"
+  python local/make_corpus.py --out $datadir
+  for s in train dev test; do
+    python -m espnet_tpu.bin.data_utils validate $datadir/$s
+  done
+fi
+
+if [ $stage -le 1 ] && [ $stop_stage -ge 1 ]; then
+  echo "=== stage 1: collect stats"
+  python -m espnet_tpu.bin.asr_train \
+    --collect_stats true \
+    --train_data $train_set/wav.scp,speech,sound \
+    --train_data $train_set/text,text,text \
+    --token_list $tokens --expdir $asrdir --stats_dir $expdir/stats \
+    --config $conf
+fi
+
+if [ $stage -le 2 ] && [ $stop_stage -ge 2 ]; then
+  echo "=== stage 2: char LM training + test perplexity"
+  python -m espnet_tpu.bin.lm_train \
+    --train_data $train_set/text,text,text \
+    --valid_data $dev_set/text,text,text \
+    --token_list $tokens --expdir $expdir/lm --config conf/lm_rnn.yaml
+  python -m espnet_tpu.bin.lm_calc_perplexity \
+    --data $test_set/text,text,text \
+    --config $expdir/lm/config.yaml \
+    --ckpt $expdir/lm/valid.loss.best.ckpt \
+    --output_dir $expdir/lm/ppl_test
+fi
+
+if [ $stage -le 3 ] && [ $stop_stage -ge 3 ]; then
+  echo "=== stage 3: ASR training ($arch)"
+  python -m espnet_tpu.bin.asr_train \
+    --train_data $train_set/wav.scp,speech,sound \
+    --train_data $train_set/text,text,text \
+    --valid_data $dev_set/wav.scp,speech,sound \
+    --valid_data $dev_set/text,text,text \
+    --token_list $tokens --expdir $asrdir --stats_dir $expdir/stats \
+    --config $conf
+  python -m espnet_tpu.bin.average_checkpoints \
+    --expdir $asrdir --num 5 --out $asrdir/avg5.ckpt || true
+fi
+
+decode () {  # decode <ckpt> <outdir> <extra args...>
+  local ckpt=$1 outdir=$2; shift 2
+  python -m espnet_tpu.bin.asr_recog \
+    --data $test_set/wav.scp,speech,sound --text $test_set/text \
+    --config $asrdir/config.yaml --ckpt $ckpt \
+    --output_dir $outdir $decode_opts_common "$@"
+  python - <<PY
+import json; s = json.load(open("$outdir/summary.json")); print("$outdir:", s)
+PY
+}
+
+best_ckpt () {
+  if [ -f $asrdir/avg5.ckpt ]; then echo $asrdir/avg5.ckpt; \
+  else echo $asrdir/valid.loss.best.ckpt; fi
+}
+
+if [ $stage -le 4 ] && [ $stop_stage -ge 4 ]; then
+  echo "=== stage 4: decode + score (primary: beam 10, ctc 0.3, LM 0.3)"
+  if [ "$arch" = transducer ]; then
+    decode "$(best_ckpt)" $asrdir/decode_test \
+      --transducer_search alsd_batch --beam_size 5
+  else
+    decode "$(best_ckpt)" $asrdir/decode_test \
+      --beam_size 10 --ctc_weight 0.3 \
+      --lm_config $expdir/lm/config.yaml \
+      --lm_ckpt $expdir/lm/valid.loss.best.ckpt --lm_weight 0.3
+  fi
+fi
+
+if [ $stage -le 5 ] && [ $stop_stage -ge 5 ] && [ "$arch" != transducer ]; then
+  echo "=== stage 5: decode ablations (beam / ctc_weight / LM fusion)"
+  ck=$(best_ckpt)
+  lm="--lm_config $expdir/lm/config.yaml --lm_ckpt $expdir/lm/valid.loss.best.ckpt"
+  decode $ck $asrdir/ablate_beam1  --beam_size 1  --ctc_weight 0.3
+  decode $ck $asrdir/ablate_beam5  --beam_size 5  --ctc_weight 0.3
+  decode $ck $asrdir/ablate_beam10 --beam_size 10 --ctc_weight 0.3
+  decode $ck $asrdir/ablate_ctc0   --beam_size 10 --ctc_weight 0.0
+  decode $ck $asrdir/ablate_ctc06  --beam_size 10 --ctc_weight 0.6
+  decode $ck $asrdir/ablate_lm03   --beam_size 10 --ctc_weight 0.3 $lm --lm_weight 0.3
+fi
+
+if [ $stage -le 6 ] && [ $stop_stage -ge 6 ]; then
+  echo "=== stage 6: learning curve (train-size 375 / 750 / full 1500)"
+  for n in 375 750; do
+    sub=$datadir/train_$n
+    [ -d $sub ] || python -m espnet_tpu.bin.data_utils subset \
+      $train_set $sub --first $n
+    subexp=$expdir/asr_${arch}_n$n
+    python -m espnet_tpu.bin.asr_train \
+      --train_data $sub/wav.scp,speech,sound \
+      --train_data $sub/text,text,text \
+      --valid_data $dev_set/wav.scp,speech,sound \
+      --valid_data $dev_set/text,text,text \
+      --token_list $tokens --expdir $subexp --stats_dir $expdir/stats \
+      --config $conf
+    python -m espnet_tpu.bin.asr_recog \
+      --data $test_set/wav.scp,speech,sound --text $test_set/text \
+      --config $subexp/config.yaml --ckpt $subexp/valid.loss.best.ckpt \
+      --output_dir $subexp/decode_test $decode_opts_common \
+      --beam_size 10 --ctc_weight 0.3
+    cat $subexp/decode_test/summary.json; echo
+  done
+fi
+
+echo "=== synth1k done"

@@ -37,7 +37,17 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_enable_x64", True)
+@pytest.fixture(autouse=True)
+def _x64():
+    # x64 for tight allclose tolerances vs torch double — scoped per
+    # test, NOT at module import: pytest imports every module during
+    # collection, and a global flip here would retype other suites'
+    # lax.while_loop carries (observed: beam-search TypeError)
+    prev = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", prev)
+
 
 torch = pytest.importorskip("torch")
 
