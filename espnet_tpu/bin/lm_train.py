@@ -27,7 +27,15 @@ def main(argv=None):
     if args.token_list:
         config["token_list"] = args.token_list
     triplets = lambda specs: [tuple(s.split(",")) for s in specs]
-    lm_task.train(config, triplets(args.train_data), triplets(args.valid_data), args.expdir)
+    if config.get("train_mode") == "bptt":
+        # truncated BPTT over the concatenated corpus stream
+        # (reference espnet/lm/pytorch_backend/lm.py:89 BPTTUpdater)
+        lm_task.train_bptt(
+            config, triplets(args.train_data), triplets(args.valid_data),
+            args.expdir,
+        )
+    else:
+        lm_task.train(config, triplets(args.train_data), triplets(args.valid_data), args.expdir)
 
 
 if __name__ == "__main__":

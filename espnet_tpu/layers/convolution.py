@@ -107,15 +107,13 @@ class ConformerConvModule(nn.Module):
         )
         h = h2[..., :d] * jax.nn.sigmoid(h2[..., d:])
         h = (h * mask[:, :, None]).astype(cdtype)
-        pad_l = k // 2
-        kernel = dwk.astype(cdtype)  # already (k, 1, d), nn.Conv layout
-        c = jax.lax.conv_general_dilated(
-            h,
-            kernel,
-            window_strides=(1,),
-            padding=[(pad_l, k - 1 - pad_l)],
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            feature_group_count=d,
+        # custom-VJP depthwise conv: the default conv gradient lowers to
+        # a per-tap loop on the current TPU backend (42 ms at encoder
+        # scale vs ~3 ms forward) — see ops/depthwise.py
+        from espnet_tpu.ops.depthwise import depthwise_conv1d
+
+        c = depthwise_conv1d(
+            h, dwk[:, 0, :].astype(cdtype)
         ).astype(jnp.float32) + dwb
         if self.use_batch_norm:
             c = nn.BatchNorm(

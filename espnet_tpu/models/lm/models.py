@@ -53,10 +53,13 @@ class SequentialRNNLM(nn.Module):
             new.append(c)
         return tuple(new), self.out(x)
 
-    def __call__(self, tokens: jnp.ndarray, deterministic: bool = True):
-        """(B, L) → (B, L, V) next-token logits."""
-        b, l = tokens.shape
-        carry = self.init_carry(b)
+    def forward_carry(self, carry, tokens: jnp.ndarray):
+        """BPTT window: (carry, (B, L) tokens) → (new_carry, (B, L, V)).
+
+        Hidden state flows in/out so the caller can thread it across
+        windows of the concatenated corpus stream (reference BPTT LM
+        training, espnet/lm/chainer_backend/lm.py ParallelSequential
+        semantics)."""
 
         def body(mdl, carry, tok):
             return mdl.step(carry, tok)
@@ -68,7 +71,12 @@ class SequentialRNNLM(nn.Module):
             in_axes=1,
             out_axes=1,
         )
-        _, logits = scan(self, carry, tokens)
+        return scan(self, carry, tokens)
+
+    def __call__(self, tokens: jnp.ndarray, deterministic: bool = True):
+        """(B, L) → (B, L, V) next-token logits."""
+        b, l = tokens.shape
+        _, logits = self.forward_carry(self.init_carry(b), tokens)
         return logits
 
 

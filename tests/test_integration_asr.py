@@ -129,3 +129,87 @@ def test_full_asr_pipeline(tmp_path):
     assert summary["num_utts"] == 6
     # trained model must do far better than chance
     assert summary["wer"] < 0.5, summary
+
+
+def test_long_audio_ctc_segmentation(tmp_path):
+    """Train a small CTC model, concatenate utterances into one long
+    recording with silence gaps, and recover their positions via
+    asr_align --utt2audio (reference espnet/bin/asr_align.py:228)."""
+    train_dir = tmp_path / "train"
+    make_corpus(train_dir, 48, seed=3)
+    from espnet_tpu.text.tokenizers import build_token_list
+
+    texts = [
+        t.split(" ", 1)[1]
+        for t in (train_dir / "text").read_text().splitlines()
+    ]
+    tokens_file = tmp_path / "tokens.txt"
+    tokens_file.write_text("\n".join(build_token_list(texts, "char")))
+    config = {
+        "token_list": str(tokens_file),
+        "frontend": "default",
+        "frontend_conf": {"fs": FS, "n_fft": 256, "hop_length": 128, "n_mels": 20},
+        "normalize": "global_mvn",
+        "encoder": "rnn",
+        "encoder_conf": {"elayers": 1, "eunits": 32, "eprojs": 32},
+        "model_conf": {"ctc_weight": 1.0},  # pure CTC
+        "optim": "adam",
+        "optim_conf": {"lr": 5e-3},
+        "max_epoch": 15,
+        "batch_size": 8,
+        "log_interval": 1000,
+        "token_type": "char",
+    }
+    train_data = [
+        (str(train_dir / "wav.scp"), "speech", "sound"),
+        (str(train_dir / "text"), "text", "text"),
+    ]
+    from espnet_tpu.tasks import asr as asr_task
+
+    stats_dir = tmp_path / "stats"
+    asr_task.collect_stats(config, train_data, str(stats_dir), build_token_list(texts, "char"))
+    expdir = tmp_path / "exp"
+    asr_task.train(config, train_data, train_data, str(expdir), str(stats_dir))
+
+    # one long recording: silence + 3 train utterances + silence gaps
+    from espnet_tpu.data.wav import read_wav
+    from espnet_tpu.data.kaldi_io import read_scp, write_scp
+
+    wav_scp = read_scp(train_dir / "wav.scp")
+    text_scp = read_scp(train_dir / "text")
+    picks = sorted(wav_scp)[:3]
+    gap = np.zeros(int(0.4 * FS), np.float32)
+    pieces, truth, t = [gap], {}, len(gap) / FS
+    for uid in picks:
+        _, w = read_wav(wav_scp[uid])
+        pieces += [w, gap]
+        truth[uid] = (t, t + len(w) / FS)
+        t += (len(w) + len(gap)) / FS
+    long_dir = tmp_path / "long"
+    (long_dir).mkdir()
+    write_wav(long_dir / "rec1.wav", FS, np.concatenate(pieces))
+    write_scp(long_dir / "wav.scp", {"rec1": str(long_dir / "rec1.wav")})
+    write_scp(long_dir / "text", {u: text_scp[u] for u in picks})
+    write_scp(long_dir / "utt2audio", {u: "rec1" for u in picks})
+
+    from espnet_tpu.bin import asr_align
+
+    seg_file = tmp_path / "segments"
+    asr_align.main([
+        "--data", f"{long_dir}/wav.scp,speech,sound",
+        "--text", str(long_dir / "text"),
+        "--utt2audio", str(long_dir / "utt2audio"),
+        "--config", str(expdir / "config.yaml"),
+        "--ckpt", str(expdir / "valid.loss.best.ckpt"),
+        "--output", str(seg_file),
+    ])
+    lines = seg_file.read_text().strip().splitlines()
+    assert len(lines) == 3
+    for line in lines:
+        uid, aid, t0, t1, conf = line.split()
+        t0, t1 = float(t0), float(t1)
+        ts, te = truth[uid]
+        assert aid == "rec1"
+        # recovered window within 0.25 s of the true span
+        assert abs(t0 - ts) < 0.25 and abs(t1 - te) < 0.25, (uid, t0, t1, ts, te)
+        assert float(conf) > -5.0

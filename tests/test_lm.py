@@ -121,3 +121,51 @@ def test_lm_fusion_shifts_beam():
     # scores must differ; with overwhelming LM weight the output follows
     # the LM, not the acoustics
     assert float(s0[0, 0]) != float(s1[0, 0])
+
+
+def test_lm_bptt_training_ppl_parity(tmp_path):
+    """BPTT corpus-stream training (reference lm.py:89 BPTTUpdater)
+    reaches sentence-level-comparable perplexity on the bigram corpus,
+    through the same CLI + perplexity tooling."""
+    rng = np.random.RandomState(1)
+    lines = {}
+    for i in range(60):
+        n = rng.randint(3, 8)
+        seq = ["A"]
+        for _ in range(n):
+            seq.append({"A": "B", "B": "C", "C": "A"}[seq[-1]])
+        lines[f"u{i:03d}"] = " ".join(seq)
+    from espnet_tpu.data.kaldi_io import write_scp
+
+    write_scp(tmp_path / "text", lines)
+    tokens = ["<blank>", "<unk>", "A", "B", "C", "<sos/eos>"]
+    (tmp_path / "tokens.txt").write_text("\n".join(tokens))
+
+    from espnet_tpu.bin import lm_train, lm_calc_perplexity
+
+    lm_train.main(
+        [
+            "--train_data", f"{tmp_path}/text,text,text",
+            "--valid_data", f"{tmp_path}/text,text,text",
+            "--expdir", str(tmp_path / "exp_bptt"),
+            "--token_list", str(tmp_path / "tokens.txt"),
+            "--lm", "seq_rnn",
+            "--lm_conf.units", "16",
+            "--lm_conf.layers", "1",
+            "--max_epoch", "8",
+            "--token_type", "word",
+            "--optim_conf.lr", "0.01",
+            "--train_mode", "bptt",
+            "--bptt_len", "16",
+            "--batch_size", "4",
+        ]
+    )
+    ppl = lm_calc_perplexity.main(
+        [
+            "--data", f"{tmp_path}/text,text,text",
+            "--config", str(tmp_path / "exp_bptt/config.yaml"),
+            "--ckpt", str(tmp_path / "exp_bptt/valid.loss.best.ckpt"),
+        ]
+    )
+    # same bar as the sentence-level test: far below uniform (6)
+    assert ppl < 3.0, ppl
