@@ -111,6 +111,7 @@ class Tacotron2DecoderStep(nn.Module):
     att_type: str = "location"  # location | forward | forward_ta
     # (reference Tacotron2 default atype is forward_ta,
     #  e2e_tts_tacotron2.py:378 — selectable here via tts_conf.att_type)
+    prenet_dropout_rate: float = 0.5
 
     def setup(self):
         if self.att_type == "location":
@@ -127,7 +128,9 @@ class Tacotron2DecoderStep(nn.Module):
             self.att = AttForwardTA(self.att_dim, self.aconv_chans, self.aconv_filts)
         else:
             raise ValueError(f"unknown tacotron att_type {self.att_type}")
-        self.prenet = Prenet(self.prenet_units)
+        self.prenet = Prenet(
+            self.prenet_units, dropout_rate=self.prenet_dropout_rate
+        )
         self.cells = [nn.LSTMCell(self.dunits) for _ in range(self.dlayers)]
         self.feat_out = nn.Dense(self.n_mels * self.reduction_factor, use_bias=False)
         self.prob_out = nn.Dense(self.reduction_factor)
@@ -138,8 +141,10 @@ class Tacotron2DecoderStep(nn.Module):
             for _ in range(self.dlayers)
         )
         if self.att_type == "location":
-            mask = make_non_pad_mask(hlens, maxlen)
-            att_prev = mask.astype(dtype) / jnp.maximum(hlens[:, None], 1).astype(dtype)
+            # zeros = "step 0" sentinel; __call__ substitutes the uniform
+            # prior for the attention input without polluting the
+            # cumulative sum (reference decoder.py first-step semantics)
+            att_prev = jnp.zeros((batch, maxlen), dtype)
         else:
             att_prev = self.att.init_state(batch, maxlen, hlens, dtype)
         prev_frame = jnp.zeros((batch, self.n_mels), dtype)
@@ -151,10 +156,24 @@ class Tacotron2DecoderStep(nn.Module):
         states, att_state = carry
         dec_z = states[0][1]
         if self.att_type == "location":
+            # step 0 is marked by an all-zero cumulative state: the
+            # uniform prior feeds the attention but is NOT part of the
+            # cumulative sum (reference decoder.py: "prev_att_w = att_w
+            # if prev_att_w is None else prev_att_w + att_w")
+            first = jnp.sum(jnp.abs(att_state), axis=-1, keepdims=True) == 0
+            uniform = mask.astype(att_state.dtype) / jnp.maximum(
+                mask.sum(axis=-1, keepdims=True), 1
+            ).astype(att_state.dtype)
+            att_in = jnp.where(first, uniform, att_state)
+            # reference AttLoc default scaling is 2.0 (attentions.py:125;
+            # the forward/forward_ta variants default to 1.0)
             att_c, att_w = self.att(
-                enc_h, enc_proj, mask, dec_z, att_state, scaling=1.0
+                enc_h, enc_proj, mask, dec_z, att_in, scaling=2.0
             )
-            new_att = att_state + att_w if self.cumulate_att_w else att_w
+            if self.cumulate_att_w:
+                new_att = jnp.where(first, att_w, att_state + att_w)
+            else:
+                new_att = att_w
         elif self.att_type == "forward":
             att_c, new_att = self.att(
                 enc_h, enc_proj, mask, dec_z, att_state, scaling=1.0

@@ -76,7 +76,7 @@ def gpipe(
         mesh=mesh,
         in_specs=(P(axis), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,  # jax>=0.7 name for check_rep
     )(stage_params, x_microbatches)
 
 

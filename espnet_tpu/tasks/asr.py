@@ -290,8 +290,18 @@ def collect_stats(
             if name == "speech" and frontend is not None:
                 import jax.numpy as jnp
 
-                feats, _ = frontend(jnp.asarray(arr)[None], jnp.array([len(arr)]))
-                arr_f = np.asarray(feats[0])
+                # pad to a coarse bucket grid: unique wav lengths would
+                # otherwise each trigger a fresh (remote) compile —
+                # catastrophic through a remote-TPU tunnel; the frontend
+                # returns true output lengths, so padding is trimmed
+                bucket = 8192
+                n = len(arr)
+                n_pad = ((n + bucket - 1) // bucket) * bucket
+                arr_p = np.pad(arr, (0, n_pad - n))
+                feats, olens = frontend(
+                    jnp.asarray(arr_p)[None], jnp.array([n])
+                )
+                arr_f = np.asarray(feats[0][: int(np.asarray(olens)[0])])
             elif name == "speech":
                 arr_f = arr
             else:

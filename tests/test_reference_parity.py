@@ -491,3 +491,222 @@ def test_ctc_prefix_score_single_parity():
             cand_state, jnp.asarray([0]), jnp.asarray([tok])
         )
         y.append(tok)
+
+
+# ---------------------------------------------------------------- beam search
+@pytest.mark.parametrize("seed", range(8))
+def test_beam_search_hypothesis_equality(seed):
+    """1-best equality vs the reference BeamSearch
+    (espnet/nets/beam_search.py:36): both searches drive the SAME
+    deterministic scorer table, so the decoded 1-best sequence and its
+    accumulated score must agree exactly (SURVEY §7.5 — search semantics
+    isolated from any model).
+
+    Lower ranks legitimately differ BY DESIGN on two points:
+    1. the reference is a single beam where eos-ended hypotheses occupy
+       beam slots at the step they end (an ending outside the global
+       top-W is lost — observed: it prunes a -3.03 ending while keeping
+       a -7.22 one); our alive/finished double-beam keeps the best W
+       endings across all steps.
+    2. at maxlen the reference appends eos WITHOUT charging its
+       log-prob (beam_search.py post_process "add eos in the final
+       loop"); ours charges the eos score on every ending, so
+       reference maxlen-forced hypotheses rank optimistically high."""
+    import torch
+
+    from espnet.nets.beam_search import BeamSearch as RefBeamSearch
+    from espnet.nets.scorer_interface import ScorerInterface
+
+    from espnet_tpu.search.beam_search import BeamSearch, FullScorer
+
+    V, T, BEAM, MAXLEN = 7, 12, 4, 8
+    sos = eos = V - 1
+    # deterministic score table: logp(next | len(prefix), last_token)
+    table = np.log(
+        np.random.RandomState(100 + seed).dirichlet(
+            np.ones(V), size=(MAXLEN + 2, V)
+        )
+    ).astype(np.float32)
+    # token 0 is the CTC blank: our attention beam masks it always (a
+    # trained decoder never emits it); keep the table consistent
+    table[:, :, 0] = -30.0
+
+    class TableScorer(ScorerInterface, torch.nn.Module):
+        def init_state(self, x):
+            return None
+
+        def score(self, y, state, x):
+            lp = table[len(y) - 1, int(y[-1])]
+            return torch.from_numpy(lp), None
+
+    ref = RefBeamSearch(
+        scorers={"decoder": TableScorer()},
+        weights={"decoder": 1.0},
+        beam_size=BEAM,
+        vocab_size=V,
+        sos=sos,
+        eos=eos,
+        pre_beam_score_key="full",
+    )
+    x = torch.zeros(T, 4)
+    with torch.no_grad():
+        ref_hyps = ref.forward(x, maxlenratio=MAXLEN / T + 1e-9)
+    ref_best = ([int(t) for t in ref_hyps[0].yseq], float(ref_hyps[0].score))
+
+    tbl = jnp.asarray(table)
+
+    def score_fn(state, yseq, pos):
+        last = jnp.take_along_axis(yseq, pos[:, None], axis=1)[:, 0]
+        lp = tbl[jnp.minimum(state, MAXLEN + 1)][jnp.arange(last.shape[0]), last]
+        return lp, state + 1
+
+    ours = BeamSearch(
+        {
+            "decoder": FullScorer(
+                weight=1.0,
+                init=lambda mem, lens, l: jnp.zeros(mem.shape[0], jnp.int32),
+                score=score_fn,
+            )
+        },
+        vocab_size=V, sos=sos, eos=eos, beam_size=BEAM,
+        # the reference expands exactly top-BEAM tokens per hypothesis
+        pre_beam_size=BEAM,
+    )
+    mem = jnp.zeros((1, T, 4))
+    lens = jnp.asarray([T])
+    yseq, ylen, scores = ours(mem, lens, maxlen=MAXLEN, minlen=0)
+    got_best = (
+        [int(v) for v in np.asarray(yseq[0, 0])[: int(ylen[0, 0])]],
+        float(scores[0, 0]),
+    )
+    assert got_best[0] == ref_best[0], (got_best, ref_best)
+    np.testing.assert_allclose(got_best[1], ref_best[1], rtol=1e-4)
+
+
+# ---------------------------------------------------------------- tacotron2
+def test_tacotron2_decoder_step_parity():
+    """Weight-grafted teacher-forced Tacotron2 decoder parity
+    (tacotron2/decoder.py:269 Decoder.forward with AttLoc): mel frames,
+    stop logits and attention weights must match with dropout/zoneout
+    disabled and no postnet."""
+    import torch
+
+    from espnet.nets.pytorch_backend.rnn.attentions import AttLoc
+    from espnet.nets.pytorch_backend.tacotron2.decoder import (
+        Decoder as RefDecoder,
+    )
+
+    from espnet_tpu.models.tts.tacotron2 import Tacotron2DecoderStep
+
+    b, t_enc, eproj, odim = 2, 9, 12, 5
+    dunits, dlayers, prenet_units = 16, 2, 8
+    att_dim, aconv_chans, aconv_filts = 10, 4, 3
+    L = 4
+
+    torch.manual_seed(0)
+    att = AttLoc(eproj, dunits, att_dim, aconv_chans, aconv_filts).double()
+    ref = RefDecoder(
+        idim=eproj, odim=odim, att=att,
+        dlayers=dlayers, dunits=dunits,
+        prenet_layers=2, prenet_units=prenet_units,
+        postnet_layers=0,
+        use_batch_norm=False, use_concate=True,
+        dropout_rate=0.0, zoneout_rate=0.0, reduction_factor=1,
+    ).double().eval()
+
+    rng = np.random.RandomState(0)
+    hs = rng.randn(b, t_enc, eproj)
+    hlens = np.array([t_enc, t_enc - 2])
+    ys = rng.randn(b, L, odim)
+    with torch.no_grad():
+        after, before, logits, att_ws = ref(
+            torch.tensor(hs), torch.tensor(hlens), torch.tensor(ys)
+        )
+
+    # ---- graft into our step module
+    step = Tacotron2DecoderStep(
+        n_mels=odim, reduction_factor=1, dunits=dunits, dlayers=dlayers,
+        prenet_units=prenet_units, att_dim=att_dim,
+        aconv_chans=aconv_chans, aconv_filts=aconv_filts,
+        prenet_dropout_rate=0.0,
+    )
+
+    def lstm_graft(cell, in_split):
+        """torch LSTMCell → flax LSTMCell params. in_split: column index
+        where the torch input layout [att_c | prenet] splits; None keeps
+        torch column order (our input order matches)."""
+        H = cell.hidden_size
+        w_ih = cell.weight_ih.detach().numpy()  # (4H, in) gates i,f,g,o
+        w_hh = cell.weight_hh.detach().numpy()
+        b_all = (cell.bias_ih + cell.bias_hh).detach().numpy()
+        if in_split is not None:
+            # ours feeds [prenet | att_c]; torch was [att_c | prenet]
+            w_ih = np.concatenate(
+                [w_ih[:, in_split:], w_ih[:, :in_split]], axis=1
+            )
+        gates = {"i": 0, "f": 1, "g": 2, "o": 3}
+        p = {}
+        for name, gi in gates.items():
+            sl = slice(gi * H, (gi + 1) * H)
+            p[f"i{name}"] = {"kernel": jnp.asarray(w_ih[sl].T)}
+            p[f"h{name}"] = {
+                "kernel": jnp.asarray(w_hh[sl].T),
+                "bias": jnp.asarray(b_all[sl]),
+            }
+        return p
+
+    att_params = {
+        "mlp_enc": _lin(att.mlp_enc),
+        "mlp_dec": _lin(att.mlp_dec),
+        "mlp_att": _lin(att.mlp_att),
+        "loc_conv": {
+            "kernel": jnp.asarray(
+                att.loc_conv.weight.detach().numpy()[:, 0].transpose(2, 1, 0)
+            )
+        },
+        "gvec": _lin(att.gvec),
+    }
+    params = {
+        "att": att_params,
+        "prenet": {
+            "Dense_0": _lin(ref.prenet.prenet[0][0]),
+            "Dense_1": _lin(ref.prenet.prenet[1][0]),
+        },
+        "cells_0": lstm_graft(ref.lstm[0], in_split=eproj),
+        "cells_1": lstm_graft(ref.lstm[1], in_split=None),
+        "feat_out": _lin(ref.feat_out),
+        "prob_out": _lin(ref.prob_out),
+    }
+
+    hs_j = jnp.asarray(hs)
+    hlens_j = jnp.asarray(hlens)
+    from espnet_tpu.utils.masks import make_non_pad_mask
+
+    mask = make_non_pad_mask(hlens_j, t_enc)
+    variables = {"params": params}
+    enc_proj = step.apply(
+        variables, hs_j, method=lambda m, h: m.att.pre_compute(h)
+    )
+    carry = step.apply(
+        variables, b, t_enc, hlens_j, jnp.float64,
+        method=lambda m, *a: m.init_state(*a),
+    )
+    lstm_states, att_prev, prev = carry[0], carry[1], carry[2]
+    frames_all, stops_all, attw_all = [], [], []
+    state = (lstm_states, att_prev)
+    for i in range(L):
+        state, (frames, stop, att_w) = step.apply(
+            variables, state, prev, hs_j, enc_proj, mask,
+        )
+        frames_all.append(frames)
+        stops_all.append(stop[:, 0])
+        attw_all.append(att_w)
+        prev = jnp.asarray(ys[:, i])  # teacher forcing
+
+    got_frames = np.stack([np.asarray(f) for f in frames_all], axis=1)
+    got_stops = np.stack([np.asarray(s) for s in stops_all], axis=1)
+    got_attw = np.stack([np.asarray(w) for w in attw_all], axis=1)
+
+    np.testing.assert_allclose(got_frames, before.numpy(), atol=1e-8)
+    np.testing.assert_allclose(got_stops, logits.numpy(), atol=1e-8)
+    np.testing.assert_allclose(got_attw, att_ws.numpy(), atol=1e-8)
