@@ -37,6 +37,7 @@ beam_size=10
 ctc_weight=0.3
 decode_args=""
 decode_ckpt=""          # default: averaged n-best if present, else valid-best
+nj=1                    # decode shards (reference asr.sh:1105 job arrays)
 speed_perturb_factors=""
 python=python
 bpemodel=""
@@ -59,6 +60,7 @@ while [ $# -gt 0 ]; do
     --ctc_weight) ctc_weight=$2; shift 2;;
     --decode_args) decode_args=$2; shift 2;;
     --decode_ckpt) decode_ckpt=$2; shift 2;;
+    --nj) nj=$2; shift 2;;
     --speed_perturb_factors) speed_perturb_factors=$2; shift 2;;
     *) echo "unknown option $1"; exit 1;;
   esac
@@ -203,14 +205,40 @@ if [ $stage -le 7 ] && [ $stop_stage -ge 7 ]; then
   fi
   for tset in $test_sets; do
     name=$(basename $tset)
-    $python -m espnet_tpu.bin.asr_recog \
-      --data $tset/wav.scp,speech,sound --text $tset/text \
-      --config $expdir/asr/config.yaml \
-      --ckpt $decode_ckpt \
-      --output_dir $expdir/asr/decode_$name \
-      --beam_size $beam_size --ctc_weight $ctc_weight --batch_size 8 \
-      $lm_args $decode_args
-    echo "--- $name: $(cat $expdir/asr/decode_$name/summary.json)"
+    ddir=$expdir/asr/decode_$name
+    if [ "$nj" -gt 1 ]; then
+      # job-array parallel decode (reference egs2/TEMPLATE/asr1/asr.sh:1105):
+      # shard the scp, decode shards concurrently, merge, score once
+      sdir=$ddir/split
+      $python -m espnet_tpu.bin.split_scps \
+        --scps $tset/wav.scp $tset/text --num_splits $nj --output_dir $sdir
+      pids=""
+      for n in $(seq 1 $nj); do
+        $python -m espnet_tpu.bin.asr_recog \
+          --data $sdir/split$nj/$n/wav.scp,speech,sound \
+          --config $expdir/asr/config.yaml \
+          --ckpt $decode_ckpt \
+          --output_dir $ddir/output.$n \
+          --beam_size $beam_size --ctc_weight $ctc_weight --batch_size 8 \
+          $lm_args $decode_args &
+        pids="$pids $!"
+      done
+      rc=0; for p in $pids; do wait $p || rc=1; done
+      [ $rc -eq 0 ] || { echo "a decode shard failed"; exit 1; }
+      mkdir -p $ddir
+      cat $ddir/output.*/text | sort > $ddir/text
+      $python -m espnet_tpu.bin.score_text \
+        --ref $tset/text --hyp $ddir/text --output_dir $ddir
+    else
+      $python -m espnet_tpu.bin.asr_recog \
+        --data $tset/wav.scp,speech,sound --text $tset/text \
+        --config $expdir/asr/config.yaml \
+        --ckpt $decode_ckpt \
+        --output_dir $ddir \
+        --beam_size $beam_size --ctc_weight $ctc_weight --batch_size 8 \
+        $lm_args $decode_args
+    fi
+    echo "--- $name: $(cat $ddir/summary.json)"
   done
 fi
 

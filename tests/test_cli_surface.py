@@ -286,6 +286,31 @@ def test_template_asr_driver(data, tmp_path):
     assert (tmp_path / "exp/asr/decode_dset/summary.json").exists()
     assert (tmp_path / "exp/asr/model.zip").exists()
 
+    # --nj 2 job-array decode must produce identical WER to nj=1
+    # (reference egs2/TEMPLATE/asr1/asr.sh:1105-1130)
+    import json as _json
+
+    wer1 = _json.loads(
+        (tmp_path / "exp/asr/decode_dset/summary.json").read_text()
+    )["wer"]
+    r2 = subprocess.run(
+        ["bash", os.path.join(REPO, "recipes/TEMPLATE/asr.sh"),
+         "--stage", "7", "--stop_stage", "7",
+         "--train_set", str(dset), "--valid_set", str(dset),
+         "--test_sets", str(dset),
+         "--asr_config", str(conf),
+         "--tokens", str(tmp_path / "tokens.txt"),
+         "--expdir", str(tmp_path / "exp"),
+         "--beam_size", "3", "--ctc_weight", "0.5", "--nj", "2"],
+        env=ENV, capture_output=True, text=True, timeout=600,
+        cwd=str(tmp_path),
+    )
+    assert r2.returncode == 0, r2.stdout[-1500:] + r2.stderr[-1500:]
+    wer2 = _json.loads(
+        (tmp_path / "exp/asr/decode_dset/summary.json").read_text()
+    )["wer"]
+    assert wer2 == wer1, (wer2, wer1)
+
 
 @pytest.mark.slow
 def test_streaming_recog_cli(data, tmp_path):
