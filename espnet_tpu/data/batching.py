@@ -62,6 +62,7 @@ def make_batches(
     min_batch_size: int = 1,
     drop_last: bool = False,
     fold_length: int = 400,
+    categories: Optional[Dict[str, str]] = None,
 ) -> List[List[str]]:
     """shapes: {uttid: (T, ...)} → list of batches (lists of uttids).
 
@@ -70,7 +71,30 @@ def make_batches(
     batch_bins (≙ LengthBatchSampler); folded: per-batch size
     batch_size // ceil(L_max/fold_length) (≙ FoldedBatchSampler,
     folded_batch_sampler.py:13).
+
+    categories: optional {uttid: label}; utterances only batch with
+    their own label (reference batchfy.py:346 'category' grouping /
+    espnet2 utt2category) — batches from all groups are then shuffled
+    together.
     """
+    if categories:
+        groups: Dict[str, Dict[str, Sequence[int]]] = {}
+        for k, shp in shapes.items():
+            groups.setdefault(categories.get(k, ""), {})[k] = shp
+        batches: List[List[str]] = []
+        for label in sorted(groups):
+            batches.extend(
+                make_batches(
+                    groups[label], batch_size=batch_size,
+                    batch_bins=batch_bins, mode=mode, sortagrad=False,
+                    shuffle_seed=None, min_batch_size=min_batch_size,
+                    drop_last=drop_last, fold_length=fold_length,
+                )
+            )
+        if shuffle_seed is not None:
+            rng = np.random.RandomState(shuffle_seed)
+            rng.shuffle(batches)
+        return batches
     items = sorted(shapes.items(), key=lambda kv: -int(kv[1][0]))
     batches: List[List[str]] = []
     if mode == "seq":

@@ -158,6 +158,7 @@ class SequenceIterFactory:
         sortagrad: bool = False,
         shuffle: bool = True,
         collate: Callable = common_collate,
+        categories: "Dict[str, str] | None" = None,
     ):
         self.dataset = dataset
         self.shapes = shapes
@@ -168,6 +169,7 @@ class SequenceIterFactory:
         self.sortagrad = sortagrad
         self.shuffle = shuffle
         self.collate = collate
+        self.categories = categories
 
     def __call__(self, epoch: int) -> Iterable[Dict[str, np.ndarray]]:
         batches = make_batches(
@@ -177,6 +179,7 @@ class SequenceIterFactory:
             mode=self.mode,
             sortagrad=self.sortagrad and epoch == 1,
             shuffle_seed=(self.seed + epoch) if self.shuffle else None,
+            categories=self.categories,
         )
         for batch_keys in batches:
             yield self.collate([self.dataset[k] for k in batch_keys])

@@ -457,6 +457,13 @@ def train(
             collate=collate,
         )
     else:
+        categories = None
+        if config.get("utt2category"):
+            # reference 'category' grouping (batchfy.py:346 / espnet2
+            # utt2category): utterances only batch within their label
+            from espnet_tpu.data.kaldi_io import read_scp
+
+            categories = read_scp(config["utt2category"])
         train_iter = SequenceIterFactory(
             train_ds,
             shapes,
@@ -466,6 +473,7 @@ def train(
             seed=config.get("seed", 0),
             sortagrad=config.get("sortagrad", False),
             collate=collate,
+            categories=categories,
         )
     valid_shapes = {}
     for uid in valid_ds.keys:

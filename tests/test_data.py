@@ -284,3 +284,20 @@ def test_multiple_iter_factory(tmp_path):
     assert epoch_lens(1) == lens1
     # different epoch → different order (split rotation + batch shuffle)
     assert epoch_lens(2) != lens1
+
+
+def test_category_grouped_batching():
+    """reference batchfy.py:346: utterances with a category label only
+    batch with the same label; batches then shuffle together."""
+    from espnet_tpu.data.batching import make_batches
+
+    shapes = {f"a{i}": (10 + i,) for i in range(5)}
+    shapes.update({f"b{i}": (20 + i,) for i in range(3)})
+    cats = {k: k[0] for k in shapes}
+    batches = make_batches(
+        shapes, batch_size=2, categories=cats, shuffle_seed=0
+    )
+    for b in batches:
+        assert len({cats[k] for k in b}) == 1, b
+    got = sorted(k for b in batches for k in b)
+    assert got == sorted(shapes)
