@@ -122,6 +122,73 @@ def bench_conformer_train():
     return per_chip, mfu, model, variables, batch
 
 
+def bench_conformer_large_train():
+    """Reference-large conformer (Librispeech conformer-large shape:
+    d=512, h=8, 12 encoder blocks, ff=2048 — SURVEY A.4 north-star
+    model) + 6-block transformer decoder, batch 32 × 512 frames.
+    Returns (audio-s/s/chip, MFU %)."""
+    import jax
+    import jax.numpy as jnp
+
+    from espnet_tpu.models.asr import (
+        ASRModel,
+        ConformerEncoder,
+        TransformerDecoder,
+    )
+    from espnet_tpu.train.optimizers import build_optimizer
+    from espnet_tpu.train.train_state import TrainState, make_train_step
+    from espnet_tpu.utils.timing import force
+
+    vocab = 5000
+    b, t, l = 32, 512, 24
+    enc = ConformerEncoder(
+        attention_dim=512, attention_heads=8, linear_units=2048,
+        num_blocks=12, dtype=jnp.bfloat16,
+    )
+    dec = TransformerDecoder(
+        vocab, attention_dim=512, attention_heads=8, linear_units=2048,
+        num_blocks=6, dtype=jnp.bfloat16,
+    )
+    model = ASRModel(
+        vocab_size=vocab, encoder=enc, decoder=dec, ctc_weight=0.3,
+        lsm_weight=0.1, dtype=jnp.bfloat16,
+    )
+    rng = np.random.RandomState(0)
+    feats = rng.randn(b, t, 80).astype(np.float32)
+    ilens = np.full(b, t, np.int32)
+    ys = rng.randint(1, vocab - 1, size=(b, l)).astype(np.int32)
+    ylens = np.full(b, l, np.int32)
+    variables = model.init(
+        jax.random.PRNGKey(0), feats[:1], ilens[:1], ys[:1], ylens[:1]
+    )
+    n_params = sum(
+        int(np.prod(x.shape))
+        for x in jax.tree_util.tree_leaves(variables["params"])
+    )
+    tx = build_optimizer("adam", lr=1e-4)
+    state = TrainState.create(variables["params"], tx, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(model, tx), donate_argnums=0)
+    batch = {
+        "speech": jnp.asarray(feats),
+        "speech_lengths": jnp.asarray(ilens),
+        "text": jnp.asarray(ys),
+        "text_lengths": jnp.asarray(ylens),
+    }
+    for _ in range(2):
+        state, stats = step(state, batch)
+    force(stats["loss"])
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, stats = step(state, batch)
+    force(stats["loss"])
+    dt = (time.perf_counter() - t0) / n_steps
+    tokens = b * (t // 4) + b * l
+    platform = jax.devices()[0].platform
+    mfu = 6.0 * n_params * tokens / dt / PEAK_FLOPS.get(platform, 197e12) * 100
+    return b * t / FPS / dt / max(jax.device_count(), 1), mfu
+
+
 def bench_greedy_decode_rtf(model, variables, batch):
     """Greedy CTC decode RTF on the flagship encoder (encode + CTC
     argmax), batch 128 × 5.12 s utterances."""
@@ -380,12 +447,20 @@ def child_main(deadline: float):
     def remaining():
         return deadline - time.time()
 
+    def _large():
+        if os.environ.get("ESPNET_BENCH_TINY"):
+            return None  # d=512 model is not a CPU self-test workload
+        v, mfu = bench_conformer_large_train()
+        extra["conformer_large_mfu_pct"] = round(mfu, 2)
+        return round(v, 2)
+
     phases = [
         (
             "greedy_ctc_decode_rtf",
             lambda: round(bench_greedy_decode_rtf(model, variables, batch), 6),
             60,
         ),
+        ("conformer_large_audio_s_per_s_per_chip", _large, 240),
         ("rnnt_pallas_fwdbwd_speedup", lambda: _round_opt(bench_rnnt_kernel()), 60),
         (
             "transducer_train_audio_s_per_s_per_chip",

@@ -125,14 +125,12 @@ class _ConvAttentionBase(nn.Module):
             w = jnp.where(valid[None, :], w, neg)
             w = jax.nn.softmax(w, axis=-1)  # (H, K)
             w_full = jnp.repeat(w, per, axis=0)  # (D, K)
-            kernel = w_full.T[:, None, :].astype(h.dtype)  # (K, 1, D)
-            ht = jax.lax.conv_general_dilated(
-                h,
-                kernel,
-                window_strides=(1,),
-                padding=[(pad, k - 1 - pad)],
-                dimension_numbers=("NWC", "WIO", "NWC"),
-                feature_group_count=d,
+            # custom-VJP depthwise conv (ops/depthwise.py): the default
+            # conv gradient lowers to a per-tap loop on TPU
+            from espnet_tpu.ops.depthwise import depthwise_conv1d
+
+            ht = depthwise_conv1d(
+                h, w_full.T.astype(h.dtype), pad_left=pad
             )
         else:
             wk = nn.Dense(self.wshare * k, dtype=self.dtype)(x)

@@ -15,9 +15,10 @@ this op supplies a custom VJP that computes
 keeping every backward FLOP on the fast lowering. Numerically identical
 to the default VJP (tests/test_depthwise.py asserts grad parity).
 
-Layout: x (B, T, D), w (K, D), 'same'-style padding (pad_l = K//2 on
-the left, K-1-pad_l on the right), matching nn.Conv/reference
-conformer/convolution.py:13 semantics. Bias is left to the caller.
+Layout: x (B, T, D), w (K, D); `pad_left` selects the alignment —
+K//2 = centered 'same' (default, conformer conv module,
+conformer/convolution.py:13), K-1 = causal (lightconv variants). Bias
+is left to the caller.
 """
 from __future__ import annotations
 
@@ -40,22 +41,26 @@ def _conv(x: jnp.ndarray, w: jnp.ndarray, pad_l: int, pad_r: int) -> jnp.ndarray
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=())
-def depthwise_conv1d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """x: (B, T, D) · w: (K, D) → (B, T, D), centered 'same' padding."""
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def depthwise_conv1d(
+    x: jnp.ndarray, w: jnp.ndarray, pad_left: int | None = None
+) -> jnp.ndarray:
+    """x: (B, T, D) · w: (K, D) → (B, T, D).
+
+    pad_left=None → centered 'same' (K//2); K-1 → causal."""
     k = w.shape[0]
-    pad_l = k // 2
+    pad_l = k // 2 if pad_left is None else pad_left
     return _conv(x, w, pad_l, k - 1 - pad_l)
 
 
-def _fwd(x, w):
-    return depthwise_conv1d(x, w), (x, w)
+def _fwd(x, w, pad_left):
+    return depthwise_conv1d(x, w, pad_left), (x, w)
 
 
-def _bwd(res, dy):
+def _bwd(pad_left, res, dy):
     x, w = res
     k = w.shape[0]
-    pad_l = k // 2
+    pad_l = k // 2 if pad_left is None else pad_left
     pad_r = k - 1 - pad_l
     # dx: depthwise conv of dy with the tap-reversed kernel, padding
     # complemented — a plain forward conv (fast lowering)

@@ -36,39 +36,39 @@ NYQ = FS / 2.0
 # phone -> (F1, F2, F3, voiced, kind, base_dur_s, amp)
 # kind: v=vowel/sonorant, n=nasal, f=fricative, s=stop
 PHONES = {
-    "iy": (270, 2290, 3010, 1.0, "v", 0.12, 1.0),
-    "ih": (390, 1990, 2550, 1.0, "v", 0.10, 1.0),
-    "eh": (530, 1840, 2480, 1.0, "v", 0.11, 1.0),
-    "ae": (660, 1720, 2410, 1.0, "v", 0.13, 1.0),
-    "aa": (730, 1090, 2440, 1.0, "v", 0.13, 1.0),
-    "ao": (570, 840, 2410, 1.0, "v", 0.13, 1.0),
-    "uw": (300, 870, 2240, 1.0, "v", 0.12, 1.0),
-    "ah": (640, 1190, 2390, 1.0, "v", 0.10, 1.0),
-    "ax": (500, 1500, 2500, 1.0, "v", 0.06, 0.8),
-    "er": (490, 1350, 1690, 1.0, "v", 0.11, 1.0),
-    "ey": (480, 2100, 2600, 1.0, "v", 0.13, 1.0),
-    "ay": (620, 1600, 2500, 1.0, "v", 0.15, 1.0),
-    "ow": (540, 950, 2400, 1.0, "v", 0.13, 1.0),
-    "l": (360, 1300, 2700, 1.0, "v", 0.07, 0.7),
-    "r": (310, 1060, 1380, 1.0, "v", 0.08, 0.7),
-    "w": (290, 610, 2150, 1.0, "v", 0.07, 0.7),
-    "y": (260, 2070, 3020, 1.0, "v", 0.06, 0.7),
-    "m": (280, 900, 2200, 1.0, "n", 0.08, 0.5),
-    "n": (280, 1700, 2600, 1.0, "n", 0.08, 0.5),
-    "s": (0, 3200, 3800, 0.0, "f", 0.10, 0.40),
-    "sh": (0, 2200, 3000, 0.0, "f", 0.10, 0.45),
-    "f": (0, 1500, 3500, 0.0, "f", 0.09, 0.25),
-    "th": (0, 1800, 3600, 0.0, "f", 0.08, 0.22),
-    "v": (250, 1500, 3500, 0.6, "f", 0.07, 0.4),
-    "z": (250, 3200, 3800, 0.6, "f", 0.09, 0.45),
-    "hh": (500, 1500, 2500, 0.0, "f", 0.06, 0.18),
+    "iy": (270, 2290, 3010, 1.0, "v", 0.24, 1.0),
+    "ih": (390, 1990, 2550, 1.0, "v", 0.20, 1.0),
+    "eh": (530, 1840, 2480, 1.0, "v", 0.22, 1.0),
+    "ae": (660, 1720, 2410, 1.0, "v", 0.26, 1.0),
+    "aa": (730, 1090, 2440, 1.0, "v", 0.26, 1.0),
+    "ao": (570, 840, 2410, 1.0, "v", 0.26, 1.0),
+    "uw": (300, 870, 2240, 1.0, "v", 0.24, 1.0),
+    "ah": (640, 1190, 2390, 1.0, "v", 0.20, 1.0),
+    "ax": (500, 1500, 2500, 1.0, "v", 0.12, 0.8),
+    "er": (490, 1350, 1690, 1.0, "v", 0.22, 1.0),
+    "ey": (480, 2100, 2600, 1.0, "v", 0.26, 1.0),
+    "ay": (620, 1600, 2500, 1.0, "v", 0.30, 1.0),
+    "ow": (540, 950, 2400, 1.0, "v", 0.26, 1.0),
+    "l": (360, 1300, 2700, 1.0, "v", 0.14, 0.7),
+    "r": (310, 1060, 1380, 1.0, "v", 0.16, 0.7),
+    "w": (290, 610, 2150, 1.0, "v", 0.14, 0.7),
+    "y": (260, 2070, 3020, 1.0, "v", 0.12, 0.7),
+    "m": (280, 900, 2200, 1.0, "n", 0.16, 0.5),
+    "n": (280, 1700, 2600, 1.0, "n", 0.16, 0.5),
+    "s": (0, 3200, 3800, 0.0, "f", 0.20, 0.40),
+    "sh": (0, 2200, 3000, 0.0, "f", 0.20, 0.45),
+    "f": (0, 1500, 3500, 0.0, "f", 0.18, 0.25),
+    "th": (0, 1800, 3600, 0.0, "f", 0.16, 0.22),
+    "v": (250, 1500, 3500, 0.6, "f", 0.14, 0.4),
+    "z": (250, 3200, 3800, 0.6, "f", 0.18, 0.45),
+    "hh": (500, 1500, 2500, 0.0, "f", 0.12, 0.18),
     # stops: (burst-locus F2/F3); closure handled in synth
-    "p": (0, 800, 2000, 0.0, "s", 0.09, 0.5),
-    "b": (150, 800, 2000, 0.4, "s", 0.08, 0.5),
-    "t": (0, 2800, 3400, 0.0, "s", 0.09, 0.55),
-    "d": (150, 2500, 3200, 0.4, "s", 0.08, 0.55),
-    "k": (0, 1800, 2600, 0.0, "s", 0.09, 0.55),
-    "g": (150, 1800, 2600, 0.4, "s", 0.08, 0.55),
+    "p": (0, 800, 2000, 0.0, "s", 0.18, 0.5),
+    "b": (150, 800, 2000, 0.4, "s", 0.16, 0.5),
+    "t": (0, 2800, 3400, 0.0, "s", 0.18, 0.55),
+    "d": (150, 2500, 3200, 0.4, "s", 0.16, 0.55),
+    "k": (0, 1800, 2600, 0.0, "s", 0.18, 0.55),
+    "g": (150, 1800, 2600, 0.4, "s", 0.16, 0.55),
 }
 
 # spelled-letter + digit lexicon (AN4's task shape: an4.dic)
@@ -123,6 +123,11 @@ def _phone_track(phones, rate, rng, formant_scale):
     for k in range(3):
         F[:, k] = np.interp(frames, cidx, cF[:, k])
     voic = np.interp(frames, cidx, cV)
+    # per-segment CONSTANT formant targets for the noise-shaping path
+    # (fricatives/bursts must keep their own spectrum, not a glide)
+    Fn = np.zeros((total, 3))
+    for _, fc, v, a, kind, p0, n in centers:
+        Fn[p0: p0 + n] = fc
     # amplitude / stop structure per segment
     for _, fc, v, a, kind, p0, n in centers:
         if kind == "s":
@@ -139,7 +144,10 @@ def _phone_track(phones, rate, rng, formant_scale):
                 env[:r] *= np.linspace(0.5, 1.0, r)
                 env[-r:] *= np.linspace(1.0, 0.6, r)
             amp[p0: p0 + n] = env
-    return {"F": F, "voiced": np.clip(voic, 0, 1), "amp": amp, "burst": burst}
+    return {
+        "F": F, "Fnoise": Fn, "voiced": np.clip(voic, 0, 1),
+        "amp": amp, "burst": burst,
+    }
 
 
 def _formant_env(freqs, F, scale_bw=1.0):
@@ -186,7 +194,10 @@ def synth_utterance(words, rng, spk):
             amps_s[:, j] = np.interp(xi, fr, amps[:, j])
         voiced = (amps_s * np.sin(phase[:, None] * k[None, :])).sum(axis=1)
         voiced /= max(np.abs(voiced).max(), 1e-6)
-        # --- noise part: STFT-shaped white noise
+        # --- noise part: STFT-shaped white noise. The shaping envelope
+        # uses the PHONE'S OWN targets held constant per segment (tr
+        # ["Fnoise"]) — interpolated targets made fricative spectra
+        # glide between neighbours and blur s/sh/f identity
         noise = rng.randn(n)
         nfft = 256
         freqs = np.fft.rfftfreq(nfft, 1.0 / FS)
@@ -194,9 +205,10 @@ def synth_utterance(words, rng, spk):
         win = np.hanning(nfft)
         step = nfft // 2
         norm = np.zeros(n)
+        noiseF = tr.get("Fnoise", framesF)
         for i0 in range(0, n - nfft + 1, step):
             fi = min(i0 // hop, n_frames - 1)
-            env = _formant_env(freqs, framesF[fi], scale_bw=2.5)
+            env = _formant_env(freqs, noiseF[fi], scale_bw=2.0)
             seg = np.fft.irfft(np.fft.rfft(noise[i0: i0 + nfft] * win) * env, nfft)
             shaped[i0: i0 + nfft] += seg * win
             norm[i0: i0 + nfft] += win ** 2
@@ -209,12 +221,14 @@ def synth_utterance(words, rng, spk):
         sig = amp_s * (voic_s * voiced + (1 - voic_s) * 0.9 * shaped)
         sig = sig + burst_s * 0.6 * rng.randn(n)  # stop-release click
         pieces.append(sig)
-        pieces.append(np.zeros(int(FS * (0.04 + 0.08 * rng.rand()))))
+        # inter-word pause: long enough that word boundaries survive the
+        # ×4 conv2d subsampling (CTC feasibility: T' >= 2·chars+1)
+        pieces.append(np.zeros(int(FS * (0.10 + 0.10 * rng.rand()))))
     lead = np.zeros(int(FS * (0.05 + 0.05 * rng.rand())))
     wav = np.concatenate([lead] + pieces)
     # utterance gain + additive noise at 15–25 dB SNR
     wav = wav / max(np.abs(wav).max(), 1e-6) * (0.25 + 0.2 * rng.rand())
-    snr_db = 15 + 10 * rng.rand()
+    snr_db = 20 + 10 * rng.rand()
     p_sig = np.mean(wav ** 2)
     noise = rng.randn(len(wav)) * np.sqrt(p_sig / (10 ** (snr_db / 10)))
     return (wav + noise).astype(np.float32)
@@ -224,8 +238,8 @@ def make_speakers(n, rng):
     spks = []
     for _ in range(n):
         f0 = 90 + 160 * rng.rand()
-        fsc = 0.88 + 0.24 * rng.rand()
-        rate = 0.8 + 0.45 * rng.rand()
+        fsc = 0.92 + 0.16 * rng.rand()
+        rate = 0.85 + 0.3 * rng.rand()
         spks.append((f0, fsc, rate))
     return spks
 

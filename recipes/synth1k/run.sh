@@ -40,6 +40,7 @@ if [ $stage -le 0 ] && [ $stop_stage -ge 0 ]; then
   echo "=== stage 0: data generation (1500/150/150, held-out speakers)"
   python local/make_corpus.py --out $datadir
   for s in train dev test; do
+    python -m espnet_tpu.bin.data_utils fix $datadir/$s
     python -m espnet_tpu.bin.data_utils validate $datadir/$s
   done
 fi
@@ -60,7 +61,8 @@ if [ $stage -le 2 ] && [ $stop_stage -ge 2 ]; then
     --train_data $train_set/text,text,text \
     --valid_data $dev_set/text,text,text \
     --token_list $tokens --expdir $expdir/lm --config conf/lm_rnn.yaml
-  python -m espnet_tpu.bin.lm_calc_perplexity \
+  # text-only eval: host CPU (don't hold the accelerator for this)
+  JAX_PLATFORMS=cpu python -m espnet_tpu.bin.lm_calc_perplexity \
     --data $test_set/text,text,text \
     --config $expdir/lm/config.yaml \
     --ckpt $expdir/lm/valid.loss.best.ckpt \
@@ -76,8 +78,10 @@ if [ $stage -le 3 ] && [ $stop_stage -ge 3 ]; then
     --valid_data $dev_set/text,text,text \
     --token_list $tokens --expdir $asrdir --stats_dir $expdir/stats \
     --config $conf
-  python -m espnet_tpu.bin.average_checkpoints \
-    --expdir $asrdir --num 5 --out $asrdir/avg5.ckpt || true
+  # average the kept n-best epoch checkpoints (GC keeps keep_nbest=5)
+  kept=$(ls $asrdir/[0-9]*epoch.ckpt 2>/dev/null | head -5)
+  [ -n "$kept" ] && python -m espnet_tpu.bin.average_checkpoints \
+    --ckpts $kept --out $asrdir/avg5.ckpt || true
 fi
 
 decode () {  # decode <ckpt> <outdir> <extra args...>

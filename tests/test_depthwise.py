@@ -84,3 +84,32 @@ def test_conv_module_grads_unchanged():
     np.testing.assert_allclose(
         g["params"]["dw_kernel"][2, 0, 3], fd, rtol=2e-2
     )
+
+
+@pytest.mark.parametrize("pad_left", [0, 2, 4])  # causal, mid, centered+
+def test_pad_left_variants(pad_left):
+    rng = np.random.RandomState(pad_left)
+    b, t, d, k = 2, 10, 4, 5
+    x = jnp.asarray(rng.randn(b, t, d).astype(np.float32))
+    w = jnp.asarray(rng.randn(k, d).astype(np.float32))
+    cot = jnp.asarray(rng.randn(b, t, d).astype(np.float32))
+
+    def ref(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w[:, None, :], window_strides=(1,),
+            padding=[(pad_left, k - 1 - pad_left)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=d,
+        )
+
+    y = depthwise_conv1d(x, w, pad_left)
+    np.testing.assert_allclose(y, ref(x, w), rtol=1e-5, atol=1e-5)
+    gx, gw = jax.grad(
+        lambda x, w: jnp.sum(depthwise_conv1d(x, w, pad_left) * cot),
+        argnums=(0, 1),
+    )(x, w)
+    rx, rw = jax.grad(
+        lambda x, w: jnp.sum(ref(x, w) * cot), argnums=(0, 1)
+    )(x, w)
+    np.testing.assert_allclose(gx, rx, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(gw, rw, rtol=1e-4, atol=1e-4)
