@@ -155,16 +155,23 @@ class AttCovLoc(nn.Module):
 
 
 class AttMultiHeadDot(nn.Module):
-    """Multi-head dot attention (AttMultiHeadDot:845)."""
+    """Multi-head dot attention (AttMultiHeadDot:845): k/v projections are
+    bias-free, softmax scaling is the FIXED 1/sqrt(att_dim_k) (the passed
+    ``scaling`` is ignored, matching the reference which does not take the
+    argument), and the output projection maps to ``eprojs`` (the encoder
+    projection dim; 0 → att_dim_v·n_head for legacy configs)."""
 
     n_head: int = 4
     att_dim_k: int = 64
+    att_dim_v: int = 64
+    eprojs: int = 0
 
     def setup(self):
-        self.mlp_k = [nn.Dense(self.att_dim_k) for _ in range(self.n_head)]
-        self.mlp_v = [nn.Dense(self.att_dim_k) for _ in range(self.n_head)]
+        self.mlp_k = [nn.Dense(self.att_dim_k, use_bias=False) for _ in range(self.n_head)]
+        self.mlp_v = [nn.Dense(self.att_dim_v, use_bias=False) for _ in range(self.n_head)]
         self.mlp_q = [nn.Dense(self.att_dim_k) for _ in range(self.n_head)]
-        self.mlp_o = nn.Dense(self.att_dim_k * self.n_head, use_bias=False)
+        out = self.eprojs or self.att_dim_v * self.n_head
+        self.mlp_o = nn.Dense(out, use_bias=False)
 
     def pre_compute(self, enc_h):
         return (
@@ -177,23 +184,27 @@ class AttMultiHeadDot(nn.Module):
 
     def __call__(self, enc_h, enc_proj, mask, dec_z, att_prev, scaling=2.0):
         ks, vs = enc_proj
+        del scaling  # reference AttMultiHeadDot hardcodes 1/sqrt(d_k)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(self.att_dim_k, jnp.float32))
         q = jnp.stack([jnp.tanh(m(dec_z)) for m in self.mlp_q], axis=1)  # (B,H,K)
         e = jnp.einsum("bhtk,bhk->bht", ks, q)
         e = jnp.where(mask[:, None], e, MASK_MIN)
-        w = nn.softmax(scaling * e, axis=-1)
+        w = nn.softmax(scale * e, axis=-1)
         w = jnp.where(mask[:, None], w, 0.0)
-        c = jnp.einsum("bht,bhtk->bhk", w, vs).reshape(dec_z.shape[0], -1)
+        c = jnp.einsum("bht,bhtv->bhv", w, vs).reshape(dec_z.shape[0], -1)
         return self.mlp_o(c), w.mean(axis=1)
 
 
 class AttForward(nn.Module):
     """Forward (monotonic) attention for TTS (AttForward:1388):
-    alpha_t = ((1-u)·prev + u·shift(prev)) ⊙ softmax(score), renormed."""
+    alpha_t = (prev + shift(prev)) ⊙ softmax(score), clamped at 1e-6 and
+    L1-renormalized (the fixed-weight sum, NOT a transition-prob mix —
+    only AttForwardTA has a transition agent). Padded frames are zeroed
+    here where the reference leaves clamp-floor 1e-6 mass on them."""
 
     att_dim: int = 320
     aconv_chans: int = 10
     aconv_filts: int = 100
-    transition_prob: float = 0.5
 
     def setup(self):
         self.mlp_enc = nn.Dense(self.att_dim)
@@ -219,11 +230,11 @@ class AttForward(nn.Module):
             jnp.tanh(enc_proj + att_conv + self.mlp_dec(dec_z)[:, None])
         )[..., 0]
         e = jnp.where(mask, e, MASK_MIN)
-        w = nn.softmax(e, axis=-1)
+        w = nn.softmax(scaling * e, axis=-1)
         shifted = jnp.pad(att_prev, ((0, 0), (1, 0)))[:, :-1]
-        u = self.transition_prob
-        alpha = ((1 - u) * att_prev + u * shifted + 1e-10) * w
-        alpha = jnp.where(mask, alpha, 0.0)
+        alpha = (att_prev + shifted) * w
+        # clamp before normalizing (reference: avoids nan gradients)
+        alpha = jnp.where(mask, jnp.maximum(alpha, 1e-6), 0.0)
         alpha = alpha / jnp.maximum(alpha.sum(axis=-1, keepdims=True), 1e-10)
         return jnp.einsum("bt,btd->bd", alpha, enc_h), alpha
 
@@ -320,13 +331,14 @@ class AttMultiHeadAdd(nn.Module):
     n_head: int = 4
     att_dim_k: int = 64
     att_dim_v: int = 64
+    eprojs: int = 0  # output dim (encoder projection); 0 → att_dim_v·n_head
 
     def setup(self):
         self.mlp_k = [nn.Dense(self.att_dim_k, use_bias=False) for _ in range(self.n_head)]
         self.mlp_v = [nn.Dense(self.att_dim_v, use_bias=False) for _ in range(self.n_head)]
         self.mlp_q = [nn.Dense(self.att_dim_k) for _ in range(self.n_head)]
         self.gvec = [nn.Dense(1) for _ in range(self.n_head)]
-        self.mlp_o = nn.Dense(self.att_dim_v * self.n_head, use_bias=False)
+        self.mlp_o = nn.Dense(self.eprojs or self.att_dim_v * self.n_head, use_bias=False)
 
     def pre_compute(self, enc_h):
         return (
@@ -366,6 +378,7 @@ class _MultiHeadLocBase(nn.Module):
     aconv_chans: int = 10
     aconv_filts: int = 100
     multi_res: bool = False
+    eprojs: int = 0  # output dim (encoder projection); 0 → att_dim_v·n_head
 
     def setup(self):
         self.mlp_k = [nn.Dense(self.att_dim_k, use_bias=False) for _ in range(self.n_head)]
@@ -374,8 +387,10 @@ class _MultiHeadLocBase(nn.Module):
         self.mlp_att = [nn.Dense(self.att_dim_k, use_bias=False) for _ in range(self.n_head)]
         convs = []
         for h in range(self.n_head):
+            # multi-res: per-head filter = aconv_filts·(h+1)//n_head
+            # (attentions.py:1277 — may be 0 → width-1 kernel)
             filts = (
-                max(self.aconv_filts * (h + 1) // self.n_head, 1)
+                self.aconv_filts * (h + 1) // self.n_head
                 if self.multi_res
                 else self.aconv_filts
             )
@@ -387,7 +402,7 @@ class _MultiHeadLocBase(nn.Module):
             )
         self.loc_conv = convs
         self.gvec = [nn.Dense(1) for _ in range(self.n_head)]
-        self.mlp_o = nn.Dense(self.att_dim_v * self.n_head, use_bias=False)
+        self.mlp_o = nn.Dense(self.eprojs or self.att_dim_v * self.n_head, use_bias=False)
 
     def pre_compute(self, enc_h):
         return (
@@ -401,6 +416,11 @@ class _MultiHeadLocBase(nn.Module):
 
     def __call__(self, enc_h, enc_proj, mask, dec_z, att_prev, scaling=2.0):
         ks, vs = enc_proj
+        if self.multi_res:
+            # reference quirk: AttMultiHeadMultiResLoc hardcodes
+            # 1/sqrt(d_k) (attentions.py:1371) while AttMultiHeadLoc
+            # takes the scaling argument (default 2.0, :1148)
+            scaling = 1.0 / jnp.sqrt(jnp.asarray(self.att_dim_k, jnp.float32))
         ws = []
         cs = []
         for h in range(self.n_head):
@@ -480,8 +500,13 @@ class AttForwardTA(nn.Module):
 
 
 def att_for(att_type: str, att_dim: int = 320, aconv_chans: int = 10,
-            aconv_filts: int = 100, n_head: int = 4, att_win: int = 5):
-    """Factory covering all 14 reference variants (att_for:1661)."""
+            aconv_filts: int = 100, n_head: int = 4, att_win: int = 5,
+            eprojs: int = 0):
+    """Factory covering all 14 reference variants (initial_att:1726).
+
+    Multi-head variants follow the reference convention: att_dim_k =
+    att_dim_v = att_dim per head (initial_att:1760 passes adim for both),
+    output projected to ``eprojs`` (0 → att_dim_v·n_head legacy)."""
     from espnet_tpu.models.asr.rnn_decoder import LocationAttention
 
     if att_type == "noatt":
@@ -501,16 +526,16 @@ def att_for(att_type: str, att_dim: int = 320, aconv_chans: int = 10,
     if att_type == "coverage_location":
         return AttCovLoc(att_dim, aconv_chans, aconv_filts)
     if att_type == "multi_head_dot":
-        return AttMultiHeadDot(n_head, att_dim // n_head)
+        return AttMultiHeadDot(n_head, att_dim, att_dim, eprojs)
     if att_type == "multi_head_add":
-        return AttMultiHeadAdd(n_head, att_dim // n_head, att_dim // n_head)
+        return AttMultiHeadAdd(n_head, att_dim, att_dim, eprojs)
     if att_type == "multi_head_loc":
         return AttMultiHeadLoc(
-            n_head, att_dim // n_head, att_dim // n_head, aconv_chans, aconv_filts
+            n_head, att_dim, att_dim, aconv_chans, aconv_filts, eprojs=eprojs
         )
     if att_type == "multi_head_multi_res_loc":
         return AttMultiHeadMultiResLoc(
-            n_head, att_dim // n_head, att_dim // n_head, aconv_chans, aconv_filts
+            n_head, att_dim, att_dim, aconv_chans, aconv_filts, eprojs=eprojs
         )
     if att_type == "forward":
         return AttForward(att_dim, aconv_chans, aconv_filts)

@@ -74,6 +74,7 @@ class RNNDecoderStep(nn.Module):
     aconv_filts: int
     dropout_rate: float
     att_type: str = "location"
+    eprojs: int = 0  # encoder projection dim (multi-head context size)
 
     def setup(self):
         self.embed = nn.Embed(self.vocab_size, self.dunits)
@@ -85,7 +86,8 @@ class RNNDecoderStep(nn.Module):
             from espnet_tpu.models.asr.attentions import att_for
 
             self.att = att_for(
-                self.att_type, self.att_dim, self.aconv_chans, self.aconv_filts
+                self.att_type, self.att_dim, self.aconv_chans, self.aconv_filts,
+                eprojs=self.eprojs,
             )
         self.cells = [nn.LSTMCell(self.dunits) for _ in range(self.dlayers)]
         self.output = nn.Dense(self.vocab_size)
@@ -126,6 +128,7 @@ class RNNDecoder(nn.Module):
     aconv_filts: int = 100
     dropout_rate: float = 0.0
     att_type: str = "location"
+    eprojs: int = 0
     # scheduled sampling (reference decoders.py:142-170): with this
     # probability feed the model's own previous argmax instead of the
     # teacher token during training. Drawn per (batch, step) from the
@@ -142,6 +145,7 @@ class RNNDecoder(nn.Module):
             self.aconv_filts,
             self.dropout_rate,
             self.att_type,
+            self.eprojs,
         )
 
     def __call__(
