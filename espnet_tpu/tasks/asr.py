@@ -402,6 +402,16 @@ def train(
     # shapes for batching: from stats dir if present, else probe lengths
     if stats_dir and (Path(stats_dir) / "speech_shape").exists():
         shapes = read_shape_file(Path(stats_dir) / "speech_shape")
+        # a stats dir computed on a superset (e.g. learning-curve subsets
+        # reusing full-train stats) must not inject uids absent from this
+        # manifest — batch only what the dataset can serve
+        ds_keys = set(train_ds.keys)
+        shapes = {k: v for k, v in shapes.items() if k in ds_keys}
+        for uid in train_ds.keys:
+            if uid not in shapes:
+                s = train_ds[uid]
+                arr = s.get("speech")
+                shapes[uid] = arr.shape if arr is not None else (1,)
     else:
         shapes = {}
         for uid in train_ds.keys:
