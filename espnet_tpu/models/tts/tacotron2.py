@@ -59,6 +59,12 @@ class Postnet(nn.Module):
     layers: int = 5
     kernel: int = 5
     dropout_rate: float = 0.5
+    # "group" (default, batch-stat-free) or "batch": the reference's
+    # BatchNorm1d layout (tacotron2/decoder.py:189-231 — norm on EVERY
+    # layer incl. the last, tanh on all but the last). "batch" exists for
+    # reference-compatible numerics; training with it requires the caller
+    # to carry the flax batch_stats collection.
+    norm_type: str = "group"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -66,7 +72,11 @@ class Postnet(nn.Module):
             last = i == self.layers - 1
             ch = self.n_mels if last else self.channels
             x = nn.Conv(ch, (self.kernel,), padding="SAME")(x)
-            if not last:
+            if self.norm_type == "batch":
+                x = nn.BatchNorm(use_running_average=deterministic)(x)
+                if not last:
+                    x = jnp.tanh(x)
+            elif not last:
                 x = nn.GroupNorm(num_groups=1)(x)
                 x = jnp.tanh(x)
             x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
@@ -81,20 +91,30 @@ class TacotronEncoder(nn.Module):
     conv_kernel: int = 5
     blstm_units: int = 512
     dropout_rate: float = 0.5
+    norm_type: str = "group"  # "batch" = reference BatchNorm1d layout
 
     @nn.compact
     def __call__(self, text: jnp.ndarray, ilens: jnp.ndarray, deterministic=True):
         x = nn.Embed(self.vocab_size, self.embed_dim)(text)
         for _ in range(self.conv_layers):
             x = nn.Conv(self.conv_chans, (self.conv_kernel,), padding="SAME")(x)
-            x = nn.GroupNorm(num_groups=1)(x)
+            if self.norm_type == "batch":
+                x = nn.BatchNorm(use_running_average=deterministic)(x)
+            else:
+                x = nn.GroupNorm(num_groups=1)(x)
             x = nn.relu(x)
             x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         half = self.blstm_units // 2
-        fwd = nn.RNN(nn.OptimizedLSTMCell(half))(x, seq_lengths=ilens)
-        bwd = nn.RNN(nn.OptimizedLSTMCell(half), reverse=True, keep_order=True)(
+        # param_dtype follows the activations so the scan carry keeps the
+        # caller's precision (x64 parity runs); f32 training is unchanged
+        fwd = nn.RNN(nn.OptimizedLSTMCell(half, param_dtype=x.dtype))(
             x, seq_lengths=ilens
         )
+        bwd = nn.RNN(
+            nn.OptimizedLSTMCell(half, param_dtype=x.dtype),
+            reverse=True,
+            keep_order=True,
+        )(x, seq_lengths=ilens)
         return jnp.concatenate([fwd, bwd], axis=-1)
 
 
@@ -209,6 +229,7 @@ class Tacotron2(nn.Module):
     dlayers: int = 2
     prenet_units: int = 256
     postnet_chans: int = 512
+    postnet_layers: int = 5
     att_dim: int = 128
     aconv_chans: int = 32
     aconv_filts: int = 15
@@ -222,6 +243,8 @@ class Tacotron2(nn.Module):
     guided_attn_lambda: float = 1.0
     bce_pos_weight: float = 5.0
     dropout_rate: float = 0.5
+    prenet_dropout_rate: float = 0.5
+    norm_type: str = "group"  # "batch" = reference BatchNorm1d numerics
 
     def setup(self):
         self.enc = TacotronEncoder(
@@ -232,6 +255,7 @@ class Tacotron2(nn.Module):
             5,
             self.enc_blstm_units,
             self.dropout_rate,
+            norm_type=self.norm_type,
         )
         self.dec_step = Tacotron2DecoderStep(
             self.n_mels,
@@ -243,8 +267,14 @@ class Tacotron2(nn.Module):
             self.aconv_chans,
             self.aconv_filts,
             att_type=self.att_type,
+            prenet_dropout_rate=self.prenet_dropout_rate,
         )
-        self.postnet = Postnet(self.n_mels, self.postnet_chans)
+        self.postnet = Postnet(
+            self.n_mels,
+            self.postnet_chans,
+            layers=self.postnet_layers,
+            norm_type=self.norm_type,
+        )
         if self.spk_embed_dim > 0:
             self.spemb_proj = nn.Dense(self.embed_dim)
         if self.use_cbhg:

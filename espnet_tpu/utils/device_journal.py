@@ -1,0 +1,44 @@
+"""Device-use journal: attribute TPU grants to the process that took them.
+
+Round-3 lesson (VERDICT r3 "what's missing" #2): when the single remote
+chip looks wedged at capture time, nothing records WHICH invocation last
+compiled on it, so the wedge is unattributable. Every device-touching
+entry point appends one JSON line here before first touching jax, so a
+later hang can be traced to the most recent journal entry.
+
+Append-only, best-effort (never raises), one line per process:
+    {"ts": ..., "iso": ..., "pid": ..., "argv": [...], "tag": ..., "platform": ...}
+
+The journal lives at <repo>/.device_journal.jsonl (git-ignored).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_JOURNAL = Path(__file__).resolve().parents[2] / ".device_journal.jsonl"
+_written = False
+
+
+def journal_device_use(tag: str, platform: str | None = None) -> None:
+    """Append one attribution line (idempotent per process, best-effort)."""
+    global _written
+    if _written:
+        return
+    _written = True
+    try:
+        rec = {
+            "ts": round(time.time(), 3),
+            "iso": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "pid": os.getpid(),
+            "argv": sys.argv[:6],
+            "tag": tag,
+            "platform": platform or os.environ.get("JAX_PLATFORMS", "<default>"),
+        }
+        with open(_JOURNAL, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    except Exception:
+        pass

@@ -20,6 +20,12 @@ def apply_jax_platform_env():
             jax.config.update("jax_platforms", plat)
         except Exception:
             pass
+    if plat != "cpu":
+        # anything that may take the single remote chip's grant gets
+        # attributed (wedge forensics — see device_journal docstring)
+        from espnet_tpu.utils.device_journal import journal_device_use
+
+        journal_device_use("cli", plat)
 
 
 def enable_fast_tpu_rng():

@@ -710,3 +710,246 @@ def test_tacotron2_decoder_step_parity():
     np.testing.assert_allclose(got_frames, before.numpy(), atol=1e-8)
     np.testing.assert_allclose(got_stops, logits.numpy(), atol=1e-8)
     np.testing.assert_allclose(got_attw, att_ws.numpy(), atol=1e-8)
+
+
+# ------------------------------------------------------------- TTS full model
+
+
+def _lstm_cell_graft(w_ih, w_hh, b_all, in_split=None):
+    """torch LSTM gate block (i,f,g,o rows) → flax {i*,h*} dense params.
+    in_split: column where torch's input layout [att_c | rest] splits when
+    our input order is [rest | att_c]; None keeps torch column order."""
+    H = w_hh.shape[1]
+    if in_split is not None:
+        w_ih = np.concatenate([w_ih[:, in_split:], w_ih[:, :in_split]], axis=1)
+    p = {}
+    for name, gi in {"i": 0, "f": 1, "g": 2, "o": 3}.items():
+        sl = slice(gi * H, (gi + 1) * H)
+        p[f"i{name}"] = {"kernel": jnp.asarray(w_ih[sl].T)}
+        p[f"h{name}"] = {
+            "kernel": jnp.asarray(w_hh[sl].T),
+            "bias": jnp.asarray(b_all[sl]),
+        }
+    return p
+
+
+def _lstmcell(cell, in_split=None):
+    return _lstm_cell_graft(
+        cell.weight_ih.detach().numpy(),
+        cell.weight_hh.detach().numpy(),
+        (cell.bias_ih + cell.bias_hh).detach().numpy(),
+        in_split,
+    )
+
+
+def _bilstm(lstm, layer=0):
+    """torch bidirectional nn.LSTM layer → (fwd, bwd) flax cell params."""
+
+    def one(sfx):
+        return _lstm_cell_graft(
+            getattr(lstm, f"weight_ih_l{layer}{sfx}").detach().numpy(),
+            getattr(lstm, f"weight_hh_l{layer}{sfx}").detach().numpy(),
+            (
+                getattr(lstm, f"bias_ih_l{layer}{sfx}")
+                + getattr(lstm, f"bias_hh_l{layer}{sfx}")
+            ).detach().numpy(),
+        )
+
+    return one(""), one("_reverse")
+
+
+def _conv1d(conv):
+    """torch Conv1d (C_out, C_in, K) → flax Conv kernel (K, C_in, C_out);
+    reference TTS convs are bias-free, flax Conv carries a zero bias."""
+    w = conv.weight.detach().numpy()
+    p = {"kernel": jnp.asarray(w.transpose(2, 1, 0))}
+    if conv.bias is not None:
+        p["bias"] = jnp.asarray(conv.bias.detach().numpy())
+    else:
+        p["bias"] = jnp.zeros((w.shape[0],), jnp.float64)
+    return p
+
+
+def _bn(bn):
+    """torch BatchNorm1d → flax BatchNorm params + running stats."""
+    return (
+        {
+            "scale": jnp.asarray(bn.weight.detach().numpy()),
+            "bias": jnp.asarray(bn.bias.detach().numpy()),
+        },
+        {
+            "mean": jnp.asarray(bn.running_mean.detach().numpy()),
+            "var": jnp.asarray(bn.running_var.detach().numpy()),
+        },
+    )
+
+
+def _attloc_graft(att):
+    return {
+        "mlp_enc": _lin(att.mlp_enc),
+        "mlp_dec": _lin(att.mlp_dec),
+        "mlp_att": _lin(att.mlp_att),
+        "loc_conv": {
+            "kernel": jnp.asarray(
+                att.loc_conv.weight.detach().numpy()[:, 0].transpose(2, 1, 0)
+            )
+        },
+        "gvec": _lin(att.gvec),
+    }
+
+
+@pytest.mark.parametrize("reduction_factor", [1, 2])
+def test_tacotron2_full_model_parity(reduction_factor):
+    """Weight-grafted FULL teacher-forced Tacotron2 forward parity
+    (e2e_tts_tacotron2.py:702): encoder (embed + BN convs + BLSTM,
+    tacotron2/encoder.py:23) → AttLoc decoder → postnet. Mel outputs
+    before/after postnet, stop logits, and attention weights must match
+    the reference to 1e-8 with dropout/zoneout off (BASELINE.md's
+    "mel-spectrogram allclose" target).
+
+    The reference modules are built directly with the exact wiring of
+    e2e_tts_tacotron2.py:608-673 (its TTSInterface ctor needs chainer's
+    Reporter, which is not installed here)."""
+    import torch
+
+    from espnet.nets.pytorch_backend.rnn.attentions import AttLoc
+    from espnet.nets.pytorch_backend.tacotron2.decoder import (
+        Decoder as RefDecoder,
+    )
+    from espnet.nets.pytorch_backend.tacotron2.encoder import (
+        Encoder as RefEncoder,
+    )
+
+    from espnet_tpu.models.tts.tacotron2 import Tacotron2
+
+    b, t_enc, odim = 2, 9, 5
+    idim, embed_dim, econv_chans, eunits = 10, 8, 8, 8
+    dunits, dlayers, prenet_units, postnet_chans = 6, 2, 4, 8
+    adim, aconv_chans, aconv_filts = 7, 4, 3
+    r = reduction_factor
+    L = 6  # target frames (divisible by r)
+
+    torch.manual_seed(3)
+
+    class Ref:  # the e2e model's enc/att/dec wiring, minus chainer deps
+        pass
+
+    ref = Ref()
+    ref.enc = RefEncoder(
+        idim=idim, embed_dim=embed_dim, elayers=1, eunits=eunits,
+        econv_layers=2, econv_chans=econv_chans, econv_filts=5,
+        use_batch_norm=True, use_residual=False, dropout_rate=0.0,
+        padding_idx=0,
+    ).double()
+    att = AttLoc(eunits, dunits, adim, aconv_chans, aconv_filts).double()
+    ref.dec = RefDecoder(
+        idim=eunits, odim=odim, att=att,
+        dlayers=dlayers, dunits=dunits,
+        prenet_layers=2, prenet_units=prenet_units,
+        postnet_layers=3, postnet_chans=postnet_chans, postnet_filts=5,
+        output_activation_fn=None, cumulate_att_w=True,
+        use_batch_norm=True, use_concate=True,
+        dropout_rate=0.0, zoneout_rate=0.0, reduction_factor=r,
+    ).double()
+
+    rng = np.random.RandomState(7)
+    xs = np.zeros((b, t_enc), dtype=np.int64)
+    ilens = np.array([t_enc, t_enc - 2])
+    for i, n in enumerate(ilens):
+        xs[i, :n] = rng.randint(1, idim, size=n)
+    ys = rng.randn(b, L, odim)
+
+    # one train-mode pass to make BatchNorm running stats non-trivial —
+    # the parity then exercises real normalization, not identity stats
+    ref.enc.train(), ref.dec.train()
+    with torch.no_grad():
+        hs0, hlens0 = ref.enc(torch.tensor(xs), torch.tensor(ilens))
+        ref.dec(hs0, hlens0, torch.tensor(ys))
+    ref.enc.eval(), ref.dec.eval()
+    with torch.no_grad():
+        hs, hlens = ref.enc(torch.tensor(xs), torch.tensor(ilens))
+        after, before, logits, att_ws = ref.dec(hs, hlens, torch.tensor(ys))
+
+    model = Tacotron2(
+        vocab_size=idim, n_mels=odim, embed_dim=embed_dim,
+        enc_conv_layers=2, enc_conv_chans=econv_chans,
+        enc_blstm_units=eunits, dunits=dunits, dlayers=dlayers,
+        prenet_units=prenet_units, postnet_chans=postnet_chans,
+        postnet_layers=3,
+        att_dim=adim, aconv_chans=aconv_chans, aconv_filts=aconv_filts,
+        reduction_factor=r, att_type="location",
+        use_guided_attn_loss=False, dropout_rate=0.0,
+        prenet_dropout_rate=0.0, norm_type="batch",
+    )
+
+    enc_bn0, enc_bs0 = _bn(ref.enc.convs[0][1])
+    enc_bn1, enc_bs1 = _bn(ref.enc.convs[1][1])
+    fwd_cell, bwd_cell = _bilstm(ref.enc.blstm)
+    enc_params = {
+        "Embed_0": {"embedding": jnp.asarray(ref.enc.embed.weight.detach().numpy())},
+        "Conv_0": _conv1d(ref.enc.convs[0][0]),
+        "Conv_1": _conv1d(ref.enc.convs[1][0]),
+        "BatchNorm_0": enc_bn0,
+        "BatchNorm_1": enc_bn1,
+        "OptimizedLSTMCell_0": fwd_cell,
+        "OptimizedLSTMCell_1": bwd_cell,
+    }
+    dec_params = {
+        "att": _attloc_graft(ref.dec.att),
+        "prenet": {
+            "Dense_0": _lin(ref.dec.prenet.prenet[0][0]),
+            "Dense_1": _lin(ref.dec.prenet.prenet[1][0]),
+        },
+        "cells_0": _lstmcell(ref.dec.lstm[0], in_split=eunits),
+        "cells_1": _lstmcell(ref.dec.lstm[1]),
+        # reference views the feat_out output as (odim, r) — flat index
+        # o*r+j (decoder.py: .view(B, odim, -1)); ours is (r, odim) —
+        # j*odim+o. Permute rows so frame j / channel o line up.
+        "feat_out": {
+            "kernel": jnp.asarray(
+                ref.dec.feat_out.weight.detach().numpy()[
+                    [o * r + j for j in range(r) for o in range(odim)]
+                ].T
+            )
+        },
+        "prob_out": _lin(ref.dec.prob_out),
+    }
+    post_params, post_stats = {}, {}
+    for i in range(3):
+        post_params[f"Conv_{i}"] = _conv1d(ref.dec.postnet.postnet[i][0])
+        p, s = _bn(ref.dec.postnet.postnet[i][1])
+        post_params[f"BatchNorm_{i}"] = p
+        post_stats[f"BatchNorm_{i}"] = s
+
+    variables = {
+        "params": {
+            "enc": enc_params, "dec_step": dec_params, "postnet": post_params,
+        },
+        "batch_stats": {
+            "enc": {"BatchNorm_0": enc_bs0, "BatchNorm_1": enc_bs1},
+            "postnet": post_stats,
+        },
+    }
+
+    def fwd(m, text, tl, targets):
+        enc_h = m.enc(text, tl, True)
+        bef, stop, attw = m._decode_teacher(enc_h, tl, targets, True)
+        aft = bef + m.postnet(bef, True)
+        return enc_h, bef, aft, stop, attw
+
+    enc_h, got_before, got_after, got_stop, got_attw = model.apply(
+        variables,
+        jnp.asarray(xs), jnp.asarray(ilens), jnp.asarray(ys),
+        method=fwd,
+    )
+
+    # encoder parity on the valid region (flax RNN zero-carries past
+    # length; torch pad_packed zero-pads — both zero, but compare valid)
+    for i, n in enumerate(ilens):
+        np.testing.assert_allclose(
+            np.asarray(enc_h)[i, :n], hs.numpy()[i, :n], atol=1e-8
+        )
+    np.testing.assert_allclose(np.asarray(got_before), before.numpy(), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(got_after), after.numpy(), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(got_stop), logits.numpy(), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(got_attw), att_ws.numpy(), atol=1e-8)

@@ -25,19 +25,36 @@ print(f"HEALTHY platform={d[0].platform} devices={len(d)} sum={v}")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--timeout", type=int, default=90)
+    ap.add_argument(
+        "--retries",
+        type=int,
+        default=1,
+        help="extra attempts after a timeout: a COLD tunnel can take "
+        ">90s to establish its first connection and then answer "
+        "instantly, so a single timeout does not prove a wedge",
+    )
     args = ap.parse_args()
-    try:
-        r = subprocess.run(
-            [sys.executable, "-u", "-c", _PROBE],
-            capture_output=True,
-            text=True,
-            timeout=args.timeout,
-        )
-    except subprocess.TimeoutExpired:
+    r = None
+    for attempt in range(1 + args.retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-u", "-c", _PROBE],
+                capture_output=True,
+                text=True,
+                timeout=args.timeout,
+            )
+            break
+        except subprocess.TimeoutExpired:
+            if attempt < args.retries:
+                print(f"attempt {attempt + 1}: timeout {args.timeout}s "
+                      "(may be tunnel cold-start); retrying")
+    if r is None:
         print(
-            f"WEDGED: no response within {args.timeout}s — the tunnel is "
-            "likely held by a stalled server-side compile; killing local "
-            "processes will not free it"
+            f"WEDGED: no response in {1 + args.retries} attempts of "
+            f"{args.timeout}s — likely a stalled server-side compile "
+            "holding the grant; killing local processes will not free it. "
+            "Check .device_journal.jsonl for the last device-touching "
+            "invocation."
         )
         return 2
     out = (r.stdout + r.stderr).strip().splitlines()
