@@ -31,30 +31,47 @@ class TransformerTTS(nn.Module):
     dlayers: int = 6
     dunits: int = 1536
     prenet_units: int = 256
+    prenet_dropout_rate: float = 0.5  # reference --dprenet-dropout-rate
     postnet_layers: int = 5
+    postnet_chans: int = 512
     reduction_factor: int = 1
     dropout_rate: float = 0.1
     bce_pos_weight: float = 5.0
+    norm_type: str = "group"  # postnet norm; "batch" = reference numerics
+    dtype: type = jnp.float32
 
     def setup(self):
         self.embed = nn.Embed(self.vocab_size, self.adim)
         self.enc_pos = ScaledPositionalEncoding(self.adim, self.dropout_rate)
         self.enc_layers = [
-            TransformerEncoderLayer(self.adim, self.aheads, self.eunits, self.dropout_rate)
+            TransformerEncoderLayer(
+                self.adim, self.aheads, self.eunits, self.dropout_rate,
+                dtype=self.dtype,
+            )
             for _ in range(self.elayers)
         ]
-        self.enc_norm = nn.LayerNorm()
-        self.prenet = Prenet(self.prenet_units)
+        self.enc_norm = nn.LayerNorm(dtype=self.dtype)
+        self.prenet = Prenet(
+            self.prenet_units, dropout_rate=self.prenet_dropout_rate
+        )
         self.pre_proj = nn.Dense(self.adim)
         self.dec_pos = ScaledPositionalEncoding(self.adim, self.dropout_rate)
         self.dec_layers = [
-            TransformerDecoderLayer(self.adim, self.aheads, self.dunits, self.dropout_rate)
+            TransformerDecoderLayer(
+                self.adim, self.aheads, self.dunits, self.dropout_rate,
+                dtype=self.dtype,
+            )
             for _ in range(self.dlayers)
         ]
-        self.dec_norm = nn.LayerNorm()
+        self.dec_norm = nn.LayerNorm(dtype=self.dtype)
         self.feat_out = nn.Dense(self.n_mels * self.reduction_factor)
         self.prob_out = nn.Dense(self.reduction_factor)
-        self.postnet = Postnet(self.n_mels, layers=self.postnet_layers)
+        self.postnet = Postnet(
+            self.n_mels,
+            self.postnet_chans,
+            layers=self.postnet_layers,
+            norm_type=self.norm_type,
+        )
 
     def _encode(self, text, text_lengths, deterministic):
         x = self.embed(text)
