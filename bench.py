@@ -125,8 +125,13 @@ def bench_conformer_train():
 def bench_conformer_large_train():
     """Reference-large conformer (Librispeech conformer-large shape:
     d=512, h=8, 12 encoder blocks, ff=2048 — SURVEY A.4 north-star
-    model) + 6-block transformer decoder, batch 32 × 512 frames.
-    Returns (audio-s/s/chip, MFU %)."""
+    model) + 6-block transformer decoder, batch 64 × 512 frames.
+    Returns (audio-s/s/chip, MFU %).
+
+    b=64 per chip: MFU scales with batch here (measured round 4:
+    b=32 39.7 %, b=48 43.9 %, b=64 45.5 % — tools/profile_large.py);
+    the reference trains this config with large accumulated batches, so
+    the per-chip bench uses the HBM-fitting b=64."""
     import jax
     import jax.numpy as jnp
 
@@ -140,7 +145,7 @@ def bench_conformer_large_train():
     from espnet_tpu.utils.timing import force
 
     vocab = 5000
-    b, t, l = 32, 512, 24
+    b, t, l = 64, 512, 24
     enc = ConformerEncoder(
         attention_dim=512, attention_heads=8, linear_units=2048,
         num_blocks=12, dtype=jnp.bfloat16,

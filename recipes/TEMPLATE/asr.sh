@@ -38,6 +38,9 @@ ctc_weight=0.3
 decode_args=""
 decode_ckpt=""          # default: averaged n-best if present, else valid-best
 nj=1                    # decode shards (reference asr.sh:1105 job arrays)
+cmd_backend=local       # run.pl-family cmd layer (doc/parallelization.md):
+                        # local | slurm — array jobs go through
+                        # espnet_tpu.bin.cmd_run with per-job logs
 speed_perturb_factors=""
 python=python
 bpemodel=""
@@ -61,6 +64,7 @@ while [ $# -gt 0 ]; do
     --decode_args) decode_args=$2; shift 2;;
     --decode_ckpt) decode_ckpt=$2; shift 2;;
     --nj) nj=$2; shift 2;;
+    --cmd_backend) cmd_backend=$2; shift 2;;
     --speed_perturb_factors) speed_perturb_factors=$2; shift 2;;
     *) echo "unknown option $1"; exit 1;;
   esac
@@ -212,19 +216,18 @@ if [ $stage -le 7 ] && [ $stop_stage -ge 7 ]; then
       sdir=$ddir/split
       $python -m espnet_tpu.bin.split_scps \
         --scps $tset/wav.scp $tset/text --num_splits $nj --output_dir $sdir
-      pids=""
-      for n in $(seq 1 $nj); do
+      # array job through the run.pl-equivalent cmd layer: JOB is
+      # substituted per shard, each shard gets $ddir/log/decode.JOB.log
+      $python -m espnet_tpu.bin.cmd_run --backend $cmd_backend \
+        JOB=1:$nj $ddir/log/decode.JOB.log \
         $python -m espnet_tpu.bin.asr_recog \
-          --data $sdir/split$nj/$n/wav.scp,speech,sound \
+          --data $sdir/split$nj/JOB/wav.scp,speech,sound \
           --config $expdir/asr/config.yaml \
           --ckpt $decode_ckpt \
-          --output_dir $ddir/output.$n \
+          --output_dir $ddir/output.JOB \
           --beam_size $beam_size --ctc_weight $ctc_weight --batch_size 8 \
-          $lm_args $decode_args &
-        pids="$pids $!"
-      done
-      rc=0; for p in $pids; do wait $p || rc=1; done
-      [ $rc -eq 0 ] || { echo "a decode shard failed"; exit 1; }
+          $lm_args $decode_args \
+        || { echo "a decode shard failed (see $ddir/log/)"; exit 1; }
       mkdir -p $ddir
       cat $ddir/output.*/text | sort > $ddir/text
       $python -m espnet_tpu.bin.score_text \
