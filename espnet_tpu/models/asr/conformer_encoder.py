@@ -45,7 +45,7 @@ class ConformerEncoderLayer(nn.Module):
 
         if self.use_macaron:
             residual = x
-            x = nn.LayerNorm(dtype=self.dtype)(x)
+            x = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)(x)
             x = PositionwiseFeedForward(
                 self.linear_units, self.dropout_rate, activation="swish",
                 dtype=self.dtype,
@@ -53,7 +53,7 @@ class ConformerEncoderLayer(nn.Module):
             x = residual + ff_scale * drop(x, deterministic=deterministic)
 
         residual = x
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)(x)
         x = RelPositionMultiHeadedAttention(
             self.attention_heads, self.attention_dim, self.attention_dropout_rate,
             dtype=self.dtype,
@@ -62,7 +62,7 @@ class ConformerEncoderLayer(nn.Module):
 
         if self.use_cnn:
             residual = x
-            x = nn.LayerNorm(dtype=self.dtype)(x)
+            x = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)(x)
             x = ConformerConvModule(
                 self.cnn_kernel,
                 use_batch_norm=self.conv_use_batch_norm,
@@ -72,14 +72,14 @@ class ConformerEncoderLayer(nn.Module):
             x = residual + drop(x, deterministic=deterministic)
 
         residual = x
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)(x)
         x = PositionwiseFeedForward(
             self.linear_units, self.dropout_rate, activation="swish",
             dtype=self.dtype,
         )(x, deterministic=deterministic)
         x = residual + ff_scale * drop(x, deterministic=deterministic)
 
-        return nn.LayerNorm(dtype=self.dtype)(x)
+        return nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)(x)
 
 
 class ConformerEncoder(nn.Module):
@@ -119,7 +119,7 @@ class ConformerEncoder(nn.Module):
             )(xs.astype(self.dtype), ilens, deterministic=deterministic)
         elif self.input_layer == "linear":
             xs = nn.Dense(self.attention_dim)(xs)
-            xs = nn.LayerNorm(dtype=self.dtype)(xs)
+            xs = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)(xs)
             olens = ilens
         else:
             raise ValueError(self.input_layer)

@@ -76,9 +76,9 @@ class TransformerDecoderLayer(nn.Module):
             kernel_size=self.positionwise_conv_kernel_size,
             dtype=self.dtype,
         )
-        self.norm1 = nn.LayerNorm(dtype=self.dtype)
-        self.norm2 = nn.LayerNorm(dtype=self.dtype)
-        self.norm3 = nn.LayerNorm(dtype=self.dtype)
+        self.norm1 = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)
+        self.norm2 = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)
+        self.norm3 = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)
         self.dropout = nn.Dropout(self.dropout_rate)
 
     def __call__(self, x, self_mask, memory, memory_mask, deterministic: bool = True):
@@ -210,7 +210,7 @@ class TransformerDecoder(nn.Module):
             )
             for lnum in range(self.num_blocks)
         ]
-        self.final_norm = nn.LayerNorm(dtype=self.dtype)
+        self.final_norm = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)
         self.output = nn.Dense(self.vocab_size)
 
     def __call__(

@@ -40,7 +40,7 @@ class TransformerEncoderLayer(nn.Module):
         drop = nn.Dropout(self.dropout_rate)
         residual = x
         if self.normalize_before:
-            x = nn.LayerNorm(dtype=self.dtype)(x)
+            x = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)(x)
         if self.selfattn_layer_type == "selfattn":
             attn = MultiHeadedAttention(
                 self.attention_heads, self.attention_dim,
@@ -58,11 +58,11 @@ class TransformerEncoderLayer(nn.Module):
         x = attn(x, x, x, mask, deterministic=deterministic)
         x = residual + drop(x, deterministic=deterministic)
         if not self.normalize_before:
-            x = nn.LayerNorm(dtype=self.dtype)(x)
+            x = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)(x)
 
         residual = x
         if self.normalize_before:
-            x = nn.LayerNorm(dtype=self.dtype)(x)
+            x = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)(x)
         x = positionwise_layer_for(
             self.positionwise_layer_type,
             self.linear_units,
@@ -72,7 +72,7 @@ class TransformerEncoderLayer(nn.Module):
         )(x, deterministic=deterministic)
         x = residual + drop(x, deterministic=deterministic)
         if not self.normalize_before:
-            x = nn.LayerNorm(dtype=self.dtype)(x)
+            x = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)(x)
         return x
 
 
@@ -111,7 +111,7 @@ class TransformerEncoder(nn.Module):
             )(xs.astype(self.dtype), ilens, deterministic=deterministic)
         elif self.input_layer == "linear":
             xs = nn.Dense(self.attention_dim)(xs)
-            xs = nn.LayerNorm(dtype=self.dtype)(xs)
+            xs = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)(xs)
             xs = nn.Dropout(self.dropout_rate)(xs, deterministic=deterministic)
             xs = nn.relu(xs)
             olens = ilens
@@ -147,5 +147,5 @@ class TransformerEncoder(nn.Module):
                 dtype=self.dtype,
             )(xs, mask, deterministic=deterministic)
         if self.normalize_before:
-            xs = nn.LayerNorm(dtype=self.dtype)(xs)
+            xs = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)(xs)
         return xs.astype(jnp.float32), olens

@@ -106,18 +106,18 @@ class TransformerLM(nn.Module):
             mask = mask & make_non_pad_mask(lengths, l)[:, None, :]
         for _ in range(self.num_blocks):
             residual = x
-            h = nn.LayerNorm(dtype=self.dtype)(x)
+            h = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)(x)
             h = MultiHeadedAttention(
                 self.attention_heads, self.attention_dim, dtype=self.dtype
             )(h, h, h, mask, deterministic=deterministic)
             x = residual + nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
             residual = x
-            h = nn.LayerNorm(dtype=self.dtype)(x)
+            h = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)(x)
             h = PositionwiseFeedForward(
                 self.linear_units, self.dropout_rate, dtype=self.dtype
             )(h, deterministic=deterministic)
             x = residual + nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)(x)
         return nn.Dense(self.vocab_size)(x.astype(jnp.float32))
 
     def score_prefix(self, yseq: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:

@@ -49,7 +49,7 @@ class TDNNBlock(nn.Module):
             padding="SAME",
         )(xs)
         xs = nn.relu(xs)
-        xs = nn.LayerNorm()(xs)
+        xs = nn.LayerNorm(epsilon=1e-12)(xs)
         xs = nn.Dropout(self.dropout_rate)(xs, deterministic=deterministic)
         if self.stride > 1:
             ilens = (ilens + self.stride - 1) // self.stride
@@ -96,13 +96,13 @@ class SelfAttentionBlock(nn.Module):
             mask = mask & tri[None, None]
         drop = nn.Dropout(self.dropout_rate)
         res = xs
-        h = nn.LayerNorm()(xs)
+        h = nn.LayerNorm(epsilon=1e-12)(xs)
         h = MultiHeadedAttention(self.heads, self.d_hidden, self.dropout_rate)(
             h, h, h, mask, deterministic=deterministic
         )
         xs = res + drop(h, deterministic=deterministic)
         res = xs
-        h = nn.LayerNorm()(xs)
+        h = nn.LayerNorm(epsilon=1e-12)(xs)
         h = PositionwiseFeedForward(self.units, self.dropout_rate)(
             h, deterministic=deterministic
         )
@@ -130,30 +130,30 @@ class ConformerBlock(nn.Module):
         drop = nn.Dropout(self.dropout_rate)
 
         res = xs
-        h = nn.LayerNorm()(xs)
+        h = nn.LayerNorm(epsilon=1e-12)(xs)
         h = PositionwiseFeedForward(self.units, self.dropout_rate, "swish")(
             h, deterministic=deterministic
         )
         xs = res + 0.5 * drop(h, deterministic=deterministic)
 
         res = xs
-        h = nn.LayerNorm()(xs)
+        h = nn.LayerNorm(epsilon=1e-12)(xs)
         h = MultiHeadedAttention(self.heads, self.d_hidden, self.dropout_rate)(
             h, h, h, mask, deterministic=deterministic
         )
         xs = res + drop(h, deterministic=deterministic)
 
         res = xs
-        h = nn.LayerNorm()(xs)
+        h = nn.LayerNorm(epsilon=1e-12)(xs)
         h = ConformerConvModule(self.kernel_size)(h, pad, deterministic)
         xs = res + drop(h, deterministic=deterministic)
 
         res = xs
-        h = nn.LayerNorm()(xs)
+        h = nn.LayerNorm(epsilon=1e-12)(xs)
         h = PositionwiseFeedForward(self.units, self.dropout_rate, "swish")(
             h, deterministic=deterministic
         )
-        xs = nn.LayerNorm()(res + 0.5 * drop(h, deterministic=deterministic))
+        xs = nn.LayerNorm(epsilon=1e-12)(res + 0.5 * drop(h, deterministic=deterministic))
         return xs, ilens
 
 
@@ -225,7 +225,7 @@ class TransformerPredictionNet(nn.Module):
             )
             for _ in range(self.layers)
         ]
-        self.norm = nn.LayerNorm()
+        self.norm = nn.LayerNorm(epsilon=1e-12)
 
     def _stack(self, xs, ilens, deterministic: bool = True):
         for block in self.blocks:

@@ -32,7 +32,7 @@ class VariancePredictor(nn.Module):
         for _ in range(2):
             x = nn.Conv(self.chans, (self.kernel,), padding="SAME")(x)
             x = nn.relu(x)
-            x = nn.LayerNorm()(x)
+            x = nn.LayerNorm(epsilon=1e-12)(x)
             x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         return nn.Dense(1)(x)[..., 0]
 
@@ -74,17 +74,23 @@ class FastSpeech2(nn.Module):
     use_pitch: bool = True
     use_energy: bool = True
     postnet_layers: int = 5
+    postnet_chans: int = 512
     dropout_rate: float = 0.2
     duration_offset: float = 1.0  # log(d + offset) regression target
+    norm_type: str = "group"  # postnet norm; "batch" = reference numerics
+    dtype: type = jnp.float32
 
     def setup(self):
         self.embed = nn.Embed(self.vocab_size, self.adim)
         self.enc_pos = PositionalEncoding(self.adim, self.dropout_rate)
         self.enc_layers = [
-            TransformerEncoderLayer(self.adim, self.aheads, self.eunits, self.dropout_rate)
+            TransformerEncoderLayer(
+                self.adim, self.aheads, self.eunits, self.dropout_rate,
+                dtype=self.dtype,
+            )
             for _ in range(self.elayers)
         ]
-        self.enc_norm = nn.LayerNorm()
+        self.enc_norm = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)
         self.duration_predictor = VariancePredictor(self.adim)
         if self.use_pitch:
             self.pitch_predictor = VariancePredictor(self.adim)
@@ -94,12 +100,20 @@ class FastSpeech2(nn.Module):
             self.energy_embed = nn.Conv(self.adim, (9,), padding="SAME")
         self.dec_pos = PositionalEncoding(self.adim, self.dropout_rate)
         self.dec_layers = [
-            TransformerEncoderLayer(self.adim, self.aheads, self.dunits, self.dropout_rate)
+            TransformerEncoderLayer(
+                self.adim, self.aheads, self.dunits, self.dropout_rate,
+                dtype=self.dtype,
+            )
             for _ in range(self.dlayers)
         ]
-        self.dec_norm = nn.LayerNorm()
+        self.dec_norm = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)
         self.feat_out = nn.Dense(self.n_mels)
-        self.postnet = Postnet(self.n_mels, layers=self.postnet_layers)
+        self.postnet = Postnet(
+            self.n_mels,
+            self.postnet_chans,
+            layers=self.postnet_layers,
+            norm_type=self.norm_type,
+        )
 
     def _encode(self, text, text_lengths, deterministic):
         x = self.embed(text)

@@ -50,7 +50,7 @@ class TransformerTTS(nn.Module):
             )
             for _ in range(self.elayers)
         ]
-        self.enc_norm = nn.LayerNorm(dtype=self.dtype)
+        self.enc_norm = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)
         self.prenet = Prenet(
             self.prenet_units, dropout_rate=self.prenet_dropout_rate
         )
@@ -63,7 +63,7 @@ class TransformerTTS(nn.Module):
             )
             for _ in range(self.dlayers)
         ]
-        self.dec_norm = nn.LayerNorm(dtype=self.dtype)
+        self.dec_norm = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)
         self.feat_out = nn.Dense(self.n_mels * self.reduction_factor)
         self.prob_out = nn.Dense(self.reduction_factor)
         self.postnet = Postnet(

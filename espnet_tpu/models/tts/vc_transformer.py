@@ -55,7 +55,7 @@ class VCTransformer(nn.Module):
             )
             for _ in range(self.elayers)
         ]
-        self.enc_norm = nn.LayerNorm()
+        self.enc_norm = nn.LayerNorm(epsilon=1e-12)
         self.prenet = Prenet(self.prenet_units)
         self.pre_proj = nn.Dense(self.adim)
         self.dec_pos = ScaledPositionalEncoding(self.adim, self.dropout_rate)
@@ -65,7 +65,7 @@ class VCTransformer(nn.Module):
             )
             for _ in range(self.dlayers)
         ]
-        self.dec_norm = nn.LayerNorm()
+        self.dec_norm = nn.LayerNorm(epsilon=1e-12)
         self.feat_out = nn.Dense(self.n_mels * self.reduction_factor)
         self.prob_out = nn.Dense(self.reduction_factor)
         self.postnet = Postnet(self.n_mels, layers=self.postnet_layers)

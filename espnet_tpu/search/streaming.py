@@ -15,8 +15,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from espnet_tpu.search.greedy import ctc_greedy_decode_host
-
 
 def _pad_frames(buf: np.ndarray, pad_to: int) -> np.ndarray:
     """Pad the frame axis up to a multiple of pad_to: the growing window
@@ -32,6 +30,33 @@ def _pad_frames(buf: np.ndarray, pad_to: int) -> np.ndarray:
     return np.pad(buf, pad)
 
 
+def _fused_greedy_step(model, variables):
+    """ONE jitted dispatch per hop: encode → CTC head → frame argmax,
+    returning only the (T',) id path + valid length. Under the tunnel a
+    dispatch costs ~1.3 ms and a (1, T', V) log-prob readback costs
+    ~bandwidth×0.5 MB — the previous two-dispatch + full-tensor design
+    paid both TWICE per hop and dominated the 73 ms/hop round-3 number
+    (docs/BENCHMARKS.md streaming row). The argmax path is a few KB."""
+
+    @jax.jit
+    def step(speech, lens):
+        hs, hlens = model.apply(variables, speech, lens, method="encode")
+        logp = model.apply(variables, hs, method="ctc_log_softmax")
+        return jnp.argmax(logp, axis=-1).astype(jnp.int32), hlens
+
+    return step
+
+
+def _collapse_path(path: np.ndarray) -> List[int]:
+    """CTC collapse of a greedy frame path (blank=0)."""
+    seq, prev = [], -1
+    for p in path:
+        if p != 0 and p != prev:
+            seq.append(int(p))
+        prev = p
+    return seq
+
+
 class WindowStreamingASR:
     def __init__(self, model, variables, hop_frames: int = 16, pad_to: int = 64):
         self.model = model
@@ -39,19 +64,16 @@ class WindowStreamingASR:
         self.hop = hop_frames
         self.pad_to = pad_to
         self.buf: Optional[np.ndarray] = None
-        self._enc = jax.jit(
-            lambda s, l: model.apply(variables, s, l, method="encode")
-        )
-        self._ctc = jax.jit(lambda h: model.apply(variables, h, method="ctc_log_softmax"))
+        self._step = _fused_greedy_step(model, variables)
 
     def accept_input(self, frames: np.ndarray) -> List[int]:
         """frames: (t, D) new feature frames → current hypothesis ids."""
         self.buf = frames if self.buf is None else np.concatenate([self.buf, frames])
         speech = jnp.asarray(_pad_frames(self.buf, self.pad_to)[None])
         lens = jnp.array([self.buf.shape[0]])
-        hs, hlens = self._enc(speech, lens)
-        logp = self._ctc(hs)
-        return ctc_greedy_decode_host(np.asarray(logp), np.asarray(hlens))[0]
+        ids, hlens = self._step(speech, lens)
+        path = np.asarray(ids)[0, : int(hlens[0])]
+        return _collapse_path(path)
 
 
 class SegmentStreamingASR:
@@ -71,18 +93,14 @@ class SegmentStreamingASR:
         self.pad_to = pad_to
         self.buf: Optional[np.ndarray] = None
         self.decode_fn = decode_fn
-        self._enc = jax.jit(
-            lambda s, l: model.apply(variables, s, l, method="encode")
-        )
-        self._ctc = jax.jit(lambda h: model.apply(variables, h, method="ctc_log_softmax"))
+        self._step = _fused_greedy_step(model, variables)
 
     def _greedy_path(self, frames: np.ndarray) -> np.ndarray:
         padded = _pad_frames(frames, self.pad_to)
-        hs, hlens = self._enc(
+        ids, hlens = self._step(
             jnp.asarray(padded[None]), jnp.array([frames.shape[0]])
         )
-        logp = self._ctc(hs)
-        return np.argmax(np.asarray(logp)[0, : int(hlens[0])], axis=-1)
+        return np.asarray(ids)[0, : int(hlens[0])]
 
     def accept_input(self, frames: np.ndarray) -> Optional[List[int]]:
         """Returns a finalized segment hypothesis when a segment closes."""
@@ -97,12 +115,7 @@ class SegmentStreamingASR:
             self.buf = None
             if self.decode_fn is not None:
                 return self.decode_fn(seg)
-            seq, prev = [], -1
-            for p in path:
-                if p != 0 and p != prev:
-                    seq.append(int(p))
-                prev = p
-            return seq
+            return _collapse_path(path)
         return None
 
     def flush(self) -> Optional[List[int]]:
@@ -113,10 +126,4 @@ class SegmentStreamingASR:
         seg, self.buf = self.buf, None
         if self.decode_fn is not None:
             return self.decode_fn(seg)
-        path = self._greedy_path(seg)
-        seq, prev = [], -1
-        for p in path:
-            if p != 0 and p != prev:
-                seq.append(int(p))
-            prev = p
-        return seq
+        return _collapse_path(self._greedy_path(seg))

@@ -1158,3 +1158,176 @@ def test_transformer_tts_full_model_parity(reduction_factor):
     np.testing.assert_allclose(
         np.asarray(got_stop), ref_logits.numpy(), atol=1e-5
     )
+
+
+def test_fastspeech_full_model_parity():
+    """Weight-grafted FULL teacher-forced FastSpeech forward parity
+    (e2e_tts_fastspeech.py:567 _forward): embed+pos-enc encoder stack →
+    duration predictor (log domain) → length regulator → decoder stack
+    → feat_out → BN postnet. Encoder states, predicted log-durations,
+    and mels before/after postnet match the reference.
+
+    Config mirrors the e2e wiring (:455-536) with
+    use_scaled_pos_enc=False and normalize_before=True (our pre-norm
+    architecture; a reference-supported configuration). Tolerance 1e-5:
+    the reference's positional-encoding buffer is computed in f32."""
+    import torch
+
+    from espnet.nets.pytorch_backend.fastspeech.duration_predictor import (
+        DurationPredictor as RefDP,
+    )
+    from espnet.nets.pytorch_backend.fastspeech.length_regulator import (
+        LengthRegulator as RefLR,
+    )
+    from espnet.nets.pytorch_backend.nets_utils import (
+        make_non_pad_mask as ref_non_pad,
+        make_pad_mask as ref_pad,
+    )
+    from espnet.nets.pytorch_backend.tacotron2.decoder import (
+        Postnet as RefPostnet,
+    )
+    from espnet.nets.pytorch_backend.transformer.embedding import (
+        PositionalEncoding as RefPE,
+    )
+    from espnet.nets.pytorch_backend.transformer.encoder import (
+        Encoder as RefEncoder,
+    )
+
+    from espnet_tpu.models.tts.fastspeech import (
+        FastSpeech2,
+        length_regulate,
+    )
+
+    b, t_enc, odim = 2, 6, 5
+    idim, adim, aheads, units = 10, 8, 2, 12
+    postnet_chans = 8
+
+    torch.manual_seed(9)
+    enc_input = torch.nn.Embedding(idim, adim, padding_idx=0)
+    ref_enc = RefEncoder(
+        idim=idim, attention_dim=adim, attention_heads=aheads,
+        linear_units=units, num_blocks=2, input_layer=enc_input,
+        dropout_rate=0.0, positional_dropout_rate=0.0,
+        attention_dropout_rate=0.0, pos_enc_class=RefPE,
+        normalize_before=True,
+    ).double()
+    ref_dp = RefDP(
+        idim=adim, n_layers=2, n_chans=adim, kernel_size=3,
+        dropout_rate=0.0,
+    ).double()
+    ref_lr = RefLR()
+    ref_dec = RefEncoder(
+        idim=0, attention_dim=adim, attention_heads=aheads,
+        linear_units=units, num_blocks=2, input_layer=None,
+        dropout_rate=0.0, positional_dropout_rate=0.0,
+        attention_dropout_rate=0.0, pos_enc_class=RefPE,
+        normalize_before=True,
+    ).double()
+    feat_out = torch.nn.Linear(adim, odim).double()
+    postnet = RefPostnet(
+        idim=idim, odim=odim, n_layers=2, n_chans=postnet_chans,
+        n_filts=5, use_batch_norm=True, dropout_rate=0.0,
+    ).double()
+
+    rng = np.random.RandomState(13)
+    xs = np.zeros((b, t_enc), dtype=np.int64)
+    ilens = np.array([t_enc, t_enc - 2])
+    for i, n in enumerate(ilens):
+        xs[i, :n] = rng.randint(1, idim, size=n)
+    ds = np.array([[2, 1, 3, 2, 1, 1], [3, 2, 2, 1, 0, 0]], dtype=np.int64)
+    olens = ds.sum(axis=1)  # [10, 8]
+    L = int(olens.max())
+
+    postnet.train()
+    with torch.no_grad():
+        postnet(torch.randn(b, odim, L, dtype=torch.float64))
+    postnet.eval()
+    for mod in (ref_enc, ref_dp, ref_dec, feat_out):
+        mod.eval()
+
+    with torch.no_grad():
+        x_masks = ref_non_pad(list(ilens)).unsqueeze(-2)
+        hs, _ = ref_enc(torch.tensor(xs), x_masks)
+        d_masks = ref_pad(list(ilens))
+        d_outs = ref_dp(hs, d_masks)
+        hd = ref_lr(hs, torch.tensor(ds))
+        h_masks = ref_non_pad(list(olens)).unsqueeze(-2)
+        zs, _ = ref_dec(hd, h_masks)
+        ref_before = feat_out(zs).view(b, -1, odim)
+        ref_after = ref_before + postnet(
+            ref_before.transpose(1, 2)
+        ).transpose(1, 2)
+
+    model = FastSpeech2(
+        vocab_size=idim, n_mels=odim, adim=adim, aheads=aheads,
+        elayers=2, eunits=units, dlayers=2, dunits=units,
+        use_pitch=False, use_energy=False,
+        postnet_layers=2, postnet_chans=postnet_chans,
+        dropout_rate=0.0, norm_type="batch", dtype=jnp.float64,
+    )
+
+    def enc_layer(ref_layer):
+        return {
+            "LayerNorm_0": _ln(ref_layer.norm1),
+            "MultiHeadedAttention_0": _mha(ref_layer.self_attn),
+            "LayerNorm_1": _ln(ref_layer.norm2),
+            "PositionwiseFeedForward_0": _ff(ref_layer.feed_forward),
+        }
+
+    dp_params = {
+        "Conv_0": _conv1d(ref_dp.conv[0][0]),
+        "LayerNorm_0": _ln(ref_dp.conv[0][2]),
+        "Conv_1": _conv1d(ref_dp.conv[1][0]),
+        "LayerNorm_1": _ln(ref_dp.conv[1][2]),
+        "Dense_0": _lin(ref_dp.linear),
+    }
+    post_params, post_stats = {}, {}
+    for i in range(2):
+        post_params[f"Conv_{i}"] = _conv1d(postnet.postnet[i][0])
+        p, s = _bn(postnet.postnet[i][1])
+        post_params[f"BatchNorm_{i}"] = p
+        post_stats[f"BatchNorm_{i}"] = s
+
+    params = {
+        "embed": {
+            "embedding": jnp.asarray(enc_input.weight.detach().numpy())
+        },
+        "enc_layers_0": enc_layer(ref_enc.encoders[0]),
+        "enc_layers_1": enc_layer(ref_enc.encoders[1]),
+        "enc_norm": _ln(ref_enc.after_norm),
+        "duration_predictor": dp_params,
+        "dec_layers_0": enc_layer(ref_dec.encoders[0]),
+        "dec_layers_1": enc_layer(ref_dec.encoders[1]),
+        "dec_norm": _ln(ref_dec.after_norm),
+        "feat_out": _lin(feat_out),
+        "postnet": post_params,
+    }
+    variables = {"params": params, "batch_stats": {"postnet": post_stats}}
+
+    def fwd(m, text, tl, ds_j, out_len, olens_j):
+        h = m._encode(text, tl, True)
+        d_pred = m.duration_predictor(h, True)
+        hd = length_regulate(h, ds_j, out_len)
+        before = m._decode(hd, olens_j, out_len, True)
+        after = before + m.postnet(before, True)
+        return h, d_pred, before, after
+
+    h, d_pred, got_before, got_after = model.apply(
+        variables,
+        jnp.asarray(xs), jnp.asarray(ilens), jnp.asarray(ds), L,
+        jnp.asarray(olens),
+        method=fwd,
+    )
+
+    np.testing.assert_allclose(np.asarray(h), hs.numpy(), atol=1e-5)
+    # reference zeroes padded-token durations via masked_fill
+    tok_mask = np.arange(t_enc)[None] < ilens[:, None]
+    np.testing.assert_allclose(
+        np.asarray(d_pred) * tok_mask, d_outs.numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_before), ref_before.numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_after), ref_after.numpy(), atol=1e-5
+    )
