@@ -156,6 +156,11 @@ def main(argv=None):
     out.mkdir(parents=True, exist_ok=True)
     summary = {k: v / max(n, 1) for k, v in totals.items()}
     summary["num_utts"] = n
+    if args.pesq:
+        # no ITU P.862 binary exists in this environment to calibrate
+        # the MOS mapping against — the value ranks systems but is not
+        # an ITU-comparable absolute score (utils/pesq.py docstring)
+        summary["pesq_note"] = "uncalibrated (own P.862 approximation)"
     (out / "summary.json").write_text(json.dumps(summary))
     with open(out / "per_utt.json", "w") as f:
         json.dump(per_utt, f, indent=1)
