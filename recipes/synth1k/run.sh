@@ -127,18 +127,35 @@ fi
 
 if [ $stage -le 6 ] && [ $stop_stage -ge 6 ]; then
   echo "=== stage 6: learning curve (train-size 375 / 750 / full 1500)"
+  # isolate DATA AMOUNT, not schedule artifacts: the full-corpus config
+  # warms up over 600 steps (~13 epochs at 47 steps/epoch); a 375-utt
+  # subset has only 12 steps/epoch, so the same yaml would spend nearly
+  # the whole run inside warmup. Scale warmup_steps by the subset
+  # fraction and double max_epoch so the post-warmup step budget is
+  # comparable (standard data-ablation practice).
   for n in 375 750; do
     sub=$datadir/train_$n
     [ -d $sub ] || python -m espnet_tpu.bin.data_utils subset \
       $train_set $sub --first $n
     subexp=$expdir/asr_${arch}_n$n
+    subconf=$expdir/train_${arch}_n$n.yaml
+    python - "$conf" "$subconf" "$n" <<'PY'
+import sys, yaml
+conf, out, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+d = yaml.safe_load(open(conf))
+frac = n / 1500.0
+sch = d.setdefault("scheduler_conf", {})
+sch["warmup_steps"] = max(int(sch.get("warmup_steps", 600) * frac), 50)
+d["max_epoch"] = int(d.get("max_epoch", 60) * 2)
+yaml.safe_dump(d, open(out, "w"))
+PY
     python -m espnet_tpu.bin.asr_train \
       --train_data $sub/wav.scp,speech,sound \
       --train_data $sub/text,text,text \
       --valid_data $dev_set/wav.scp,speech,sound \
       --valid_data $dev_set/text,text,text \
       --token_list $tokens --expdir $subexp --stats_dir $expdir/stats \
-      --config $conf
+      --config $subconf
     python -m espnet_tpu.bin.asr_recog \
       --data $test_set/wav.scp,speech,sound --text $test_set/text \
       --config $subexp/config.yaml --ckpt $subexp/valid.loss.best.ckpt \
