@@ -133,10 +133,34 @@ if [ $stage -le 6 ] && [ $stop_stage -ge 6 ]; then
   # the whole run inside warmup. Scale warmup_steps by the subset
   # fraction and double max_epoch so the post-warmup step budget is
   # comparable (standard data-ablation practice).
+  # subsets must be SPEAKER-STRATIFIED: a --first N cut of the
+  # uid-sorted manifest keeps only the first ~N/62 speakers (375 -> 6 of
+  # 24) and the held-out-speaker WER then measures speaker-coverage
+  # collapse, not data amount (measured: 97% WER at n=375 --first vs
+  # the stratified result in RESULTS.md). Round-robin across speakers.
   for n in 375 750; do
     sub=$datadir/train_$n
-    [ -d $sub ] || python -m espnet_tpu.bin.data_utils subset \
-      $train_set $sub --first $n
+    if [ ! -f $datadir/subset_$n.list ]; then
+      python - "$train_set/utt2spk" "$datadir/subset_$n.list" "$n" <<'PY'
+import sys
+from collections import defaultdict
+u2s, out, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+spk = defaultdict(list)
+for ln in open(u2s):
+    u, s = ln.split()
+    spk[s].append(u)
+order, i = [], 0
+while len(order) < n:
+    for s in sorted(spk):
+        if i < len(spk[s]) and len(order) < n:
+            order.append(spk[s][i])
+    i += 1
+open(out, "w").write("\n".join(sorted(order)) + "\n")
+PY
+    fi
+    rm -rf $sub
+    python -m espnet_tpu.bin.data_utils subset \
+      $train_set $sub --utt_list $datadir/subset_$n.list
     subexp=$expdir/asr_${arch}_n$n
     subconf=$expdir/train_${arch}_n$n.yaml
     python - "$conf" "$subconf" "$n" <<'PY'
