@@ -525,6 +525,12 @@ def train(
         patience=config.get("patience"),
         keep_nbest=config.get("keep_nbest", 5),
         best_key=config.get("best_key", "loss"),
+        # acc-keyed selection maximizes (reference recog_model
+        # model.acc.best); loss/cer/wer minimize
+        best_mode=config.get(
+            "best_mode",
+            "max" if config.get("best_key", "loss") == "acc" else "min",
+        ),
         log_interval=config.get("log_interval", 50),
         scheduler_on_valid=scheduler_on_valid,
         mesh=init_distributed_and_mesh(config),

@@ -171,6 +171,12 @@ frac = n / 1500.0
 sch = d.setdefault("scheduler_conf", {})
 sch["warmup_steps"] = max(int(sch.get("warmup_steps", 600) * frac), 50)
 d["max_epoch"] = int(d.get("max_epoch", 60) * 2)
+# small subsets overfit: valid LOSS keeps rising after a few epochs, so
+# loss-best picks a barely-trained model whose free-running decode
+# degenerates (measured: epoch-120 ckpt decodes train at 0% WER, the
+# loss-best one at 98%). The reference decodes model.acc.best for
+# attention models (egs/*/asr1/run.sh recog_model) — do the same here.
+d["best_key"] = "acc"
 yaml.safe_dump(d, open(out, "w"))
 PY
     python -m espnet_tpu.bin.asr_train \
@@ -182,7 +188,7 @@ PY
       --config $subconf
     python -m espnet_tpu.bin.asr_recog \
       --data $test_set/wav.scp,speech,sound --text $test_set/text \
-      --config $subexp/config.yaml --ckpt $subexp/valid.loss.best.ckpt \
+      --config $subexp/config.yaml --ckpt $subexp/valid.acc.best.ckpt \
       --output_dir $subexp/decode_test $decode_opts_common \
       --beam_size 10 --ctc_weight 0.3
     cat $subexp/decode_test/summary.json; echo
