@@ -59,6 +59,10 @@ def main(argv=None):
                         help="Mask-CTC confidence threshold for masking")
     parser.add_argument("--maskctc_iterations", type=int, default=3,
                         help="Mask-CTC refill iterations")
+    parser.add_argument("--transducer_max_symbols", type=int, default=3,
+                        help="greedy: max emissions per frame (1 = "
+                        "time-sync one-emission greedy, curbs repeat "
+                        "loops on over-confident models)")
     parser.add_argument("--transducer_search", default="greedy",
                         choices=["greedy", "default", "tsd", "alsd",
                                  "alsd_batch", "nsc"])
@@ -241,7 +245,10 @@ def _transducer_recog(args, model, variables, token_list):
             jnp.asarray(batch["speech_lengths"]), method="encode",
         )
         if args.transducer_search == "greedy":
-            ids, lens = transducer_greedy_decode(model, variables, hs, hlens)
+            ids, lens = transducer_greedy_decode(
+                model, variables, hs, hlens,
+                max_symbols=args.transducer_max_symbols,
+            )
             ids, lens = np.asarray(ids), np.asarray(lens)
             results = [
                 [int(x) for x in ids[b][: lens[b]]] for b in range(len(kb))
