@@ -43,7 +43,7 @@ def main():
     from espnet_tpu.train.reporter import plot_attention
     from espnet_tpu.utils.config import load_yaml
 
-    model, variables = build_model_from_file(args.config, args.ckpt)
+    model, variables, _ = build_model_from_file(args.config, args.ckpt)
     config = load_yaml(args.config)
     token_list = config["token_list"]
     tok2id = {t: i for i, t in enumerate(token_list)}
