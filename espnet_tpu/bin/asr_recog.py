@@ -66,6 +66,13 @@ def main(argv=None):
     parser.add_argument("--transducer_search", default="greedy",
                         choices=["greedy", "default", "tsd", "alsd",
                                  "alsd_batch", "nsc"])
+    parser.add_argument("--transducer_score_norm", default="true",
+                        help="length-normalize final hypothesis scores "
+                        "(reference BeamSearchTransducer score_norm, "
+                        "beam_search_transducer.py:115-128)")
+    parser.add_argument("--transducer_blank_penalty", type=float, default=0.0,
+                        help="subtract this from every blank log-prob "
+                        "(default/alsd/alsd_batch ablation knob)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -210,21 +217,40 @@ def main(argv=None):
 
 
 def _transducer_recog(args, model, variables, token_list):
-    """Transducer decode path (greedy jittable or host beam variants)."""
+    """Transducer decode path (greedy jittable or host beam variants).
+
+    LM shallow fusion (--lm_config/--lm_ckpt/--lm_weight) matches the
+    reference BeamSearchTransducer (beam_search_transducer.py:34,
+    204-224): available in every beam algorithm incl. the batched
+    device ALSD (RNN LM rides the lax.scan)."""
     import jax.numpy as jnp
 
     from espnet_tpu.data.dataset import ESPnetDataset, common_collate
     from espnet_tpu.data.kaldi_io import read_scp
     from espnet_tpu.search.transducer import (
+        rnnlm_fusion,
         transducer_alsd_decode,
         transducer_alsd_decode_batch,
         transducer_beam_decode,
         transducer_greedy_decode,
         transducer_nsc_decode,
         transducer_tsd_decode,
+        transformerlm_fusion,
     )
     from espnet_tpu.utils.metrics import edit_distance, sclite_report
 
+    lmf = None
+    if args.lm_config and args.lm_ckpt and args.lm_weight != 0.0:
+        from espnet_tpu.models.lm.models import SequentialRNNLM
+        from espnet_tpu.tasks.lm import build_model_from_file as lm_bmff
+
+        lm, lm_vars, _ = lm_bmff(args.lm_config, args.lm_ckpt)
+        if isinstance(lm, SequentialRNNLM):
+            lmf = rnnlm_fusion(lm, lm_vars, args.lm_weight)
+        else:
+            lmf = transformerlm_fusion(lm, lm_vars, args.lm_weight)
+
+    score_norm = str(args.transducer_score_norm).lower() != "false"
     data = [tuple(s.split(",")) for s in args.data]
     ds = ESPnetDataset(data)
     out = Path(args.output_dir)
@@ -237,6 +263,10 @@ def _transducer_recog(args, model, variables, token_list):
         "alsd": transducer_alsd_decode,
         "nsc": transducer_nsc_decode,
     }
+    beam_kwargs = {"score_norm": score_norm, "lm": lmf}
+    if args.transducer_blank_penalty:
+        # only the algorithms with the ablation knob accept it
+        beam_kwargs["blank_penalty"] = args.transducer_blank_penalty
     for i in range(0, len(ds.keys), args.batch_size):
         kb = ds.keys[i: i + args.batch_size]
         batch = common_collate([ds[k] for k in kb])
@@ -256,7 +286,9 @@ def _transducer_recog(args, model, variables, token_list):
         elif args.transducer_search == "alsd_batch":
             # jittable whole-batch device beam search (no host loop)
             yseq, ylens, _ = transducer_alsd_decode_batch(
-                model, variables, hs, hlens, beam_size=args.beam_size
+                model, variables, hs, hlens, beam_size=args.beam_size,
+                score_norm=score_norm, lm=lmf,
+                blank_penalty=args.transducer_blank_penalty,
             )
             yseq, ylens = np.asarray(yseq), np.asarray(ylens)
             results = [
@@ -265,9 +297,12 @@ def _transducer_recog(args, model, variables, token_list):
             ]
         else:
             fn = beam_fns[args.transducer_search]
+            kw = dict(beam_kwargs)
+            if args.transducer_search in ("tsd", "nsc"):
+                kw.pop("blank_penalty", None)
             results = [
                 fn(model, variables, hs[b: b + 1], int(hlens[b]),
-                   beam_size=args.beam_size)[0][0]
+                   beam_size=args.beam_size, **kw)[0][0]
                 for b in range(len(kb))
             ]
         for k, seq in zip(kb, results):

@@ -6,15 +6,85 @@ inner emit loop (max_symbols per frame). Default beam search runs
 host-side over device-jitted step fns (hypothesis sets are inherently
 ragged; the per-step math still runs on device), mirroring the
 reference's algorithm including prefix recombination.
+
+LM shallow fusion (reference beam_search_transducer.py:41,204-224,
+316-337): every beam algorithm optionally takes an `LMFusion`; label
+expansions add `lm_weight · log p_lm(label | history)`, blank
+extensions carry the LM state unchanged. The batched device ALSD
+threads the LM carry through the lax.scan exactly like the prediction
+network's.
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, NamedTuple, Optional, Tuple
+from typing import Any, Callable, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+class LMFusion(NamedTuple):
+    """Shallow-fusion adapter: `init(n)` → LM state for n hypotheses;
+    `step(state, tokens (N,))` → (new_state, next-token logp (N, V))."""
+
+    init: Callable[[int], Any]
+    step: Callable[[Any, jnp.ndarray], Tuple[Any, jnp.ndarray]]
+    weight: float
+
+
+def rnnlm_fusion(lm, lm_variables, weight: float) -> LMFusion:
+    """Build an LMFusion from a SequentialRNNLM (models/lm/models.py)."""
+    raw = jax.jit(lambda c, t: lm.apply(lm_variables, c, t, method="step"))
+
+    def step(carry, tokens):
+        carry, logits = raw(carry, tokens)
+        return carry, jax.nn.log_softmax(logits, axis=-1)
+
+    return LMFusion(lambda n: lm.init_carry(n), step, weight)
+
+
+def transformerlm_fusion(lm, lm_variables, weight: float, max_len: int = 256) -> LMFusion:
+    """TransformerLM fusion for the host algorithms: state = token
+    history (python list); each step re-scores the padded prefix
+    (score_prefix recompute — bounded recompiles via pow-2 padding)."""
+
+    def pad_len(n):
+        p = 8
+        while p < n:
+            p *= 2
+        return min(p, max_len)
+
+    score = jax.jit(
+        lambda y, pos: lm.apply(lm_variables, y, pos, method="score_prefix")
+    )
+
+    def init(n):
+        return [[] for _ in range(n)]
+
+    def step(state, tokens):
+        tokens = np.asarray(tokens)
+        new_state, out = [], []
+        for hist, tok in zip(state, tokens):
+            hist = hist + [int(tok)]
+            new_state.append(hist)
+            L = pad_len(len(hist))
+            y = np.zeros((1, L), np.int32)
+            y[0, : len(hist)] = hist[-L:]
+            out.append(np.asarray(score(jnp.asarray(y), len(hist) - 1))[0])
+        return new_state, jnp.asarray(np.stack(out))
+
+    return LMFusion(init, step, weight)
+
+
+def _lm_expand(lmf: Optional[LMFusion], hyp: "_Hyp") -> Tuple[Any, Optional[np.ndarray]]:
+    """Lazy per-expansion LM predict (reference :204): feed the hyp's
+    last token (SOS=0 for the empty hyp) through its stored LM state."""
+    if lmf is None:
+        return None, None
+    last = hyp.yseq[-1] if hyp.yseq else 0
+    carry, logp = lmf.step(hyp.lm_carry, jnp.asarray([last], jnp.int32))
+    return carry, np.asarray(logp)[0]
 
 
 def transducer_greedy_decode(
@@ -78,6 +148,10 @@ class _Hyp:
     yseq: Tuple[int, ...]
     carry: Any
     g: np.ndarray
+    # LM state BEFORE consuming yseq[-1] (reference Hypothesis.lm_state
+    # convention, beam_search_transducer.py:30): the last token is fed
+    # lazily at expansion time.
+    lm_carry: Any = None
 
 
 def transducer_beam_decode(
@@ -87,16 +161,19 @@ def transducer_beam_decode(
     hlen: int,
     beam_size: int = 5,
     score_norm: bool = True,
+    lm: Optional[LMFusion] = None,
+    blank_penalty: float = 0.0,
 ) -> List[Tuple[List[int], float]]:
     """Default beam search (beam_search_transducer.py:163) for one
-    utterance; returns n-best (ids, score)."""
+    utterance; returns n-best (ids, score). Optional LM shallow fusion
+    (reference :204-224) and a blank log-prob penalty ablation knob."""
     blank = model.blank
     joint = jax.jit(lambda h, g: model.apply(variables, h, g, method="joint_step"))
     pred = jax.jit(lambda c, t: model.apply(variables, c, t, method="pred_step"))
 
     carry0 = model.apply(variables, 1, method="pred_init")
     _, g0 = pred(carry0, jnp.zeros((1,), jnp.int32))
-    kept = [_Hyp(0.0, (), carry0, g0)]
+    kept = [_Hyp(0.0, (), carry0, g0, lm.init(1) if lm else None)]
     beam_k = min(beam_size, model.vocab_size - 1)
 
     for t in range(int(hlen)):
@@ -107,9 +184,11 @@ def transducer_beam_decode(
             best = max(hyps, key=lambda h: h.score)
             hyps = [h for h in hyps if h is not best]
             logp = np.asarray(joint(h_t, best.g)[0])
+            lm_carry, lm_logp = _lm_expand(lm, best)
             # blank: hypothesis survives to next frame
             kept_h = _Hyp(
-                best.score + float(logp[blank]), best.yseq, best.carry, best.g
+                best.score + float(logp[blank]) - blank_penalty,
+                best.yseq, best.carry, best.g, best.lm_carry,
             )
             # prefix recombination: merge identical label sequences
             merged = False
@@ -127,13 +206,11 @@ def transducer_beam_decode(
                 if v == blank or cnt >= beam_k:
                     continue
                 new_carry, new_g = pred(best.carry, jnp.array([v], jnp.int32))
+                sc = best.score + float(logp[v])
+                if lm is not None:
+                    sc += lm.weight * float(lm_logp[v])
                 hyps.append(
-                    _Hyp(
-                        best.score + float(logp[v]),
-                        best.yseq + (int(v),),
-                        new_carry,
-                        new_g,
-                    )
+                    _Hyp(sc, best.yseq + (int(v),), new_carry, new_g, lm_carry)
                 )
                 cnt += 1
             if not hyps:
@@ -153,17 +230,18 @@ def transducer_tsd_decode(
     beam_size: int = 5,
     max_sym_exp: int = 2,
     score_norm: bool = True,
+    lm: Optional[LMFusion] = None,
 ) -> List[Tuple[List[int], float]]:
     """Time-synchronous decoding (beam_search_transducer.py:239): at each
     frame, up to max_sym_exp symbol expansions; hypotheses with the same
-    label sequence are merged by logaddexp."""
+    label sequence are merged by logaddexp. LM fusion per :316-337."""
     blank = model.blank
     joint = jax.jit(lambda h, g: model.apply(variables, h, g, method="joint_step"))
     pred = jax.jit(lambda c, t: model.apply(variables, c, t, method="pred_step"))
 
     carry0 = model.apply(variables, 1, method="pred_init")
     _, g0 = pred(carry0, jnp.zeros((1,), jnp.int32))
-    B = [_Hyp(0.0, (), carry0, g0)]
+    B = [_Hyp(0.0, (), carry0, g0, lm.init(1) if lm else None)]
 
     for t in range(int(hlen)):
         h_t = hs[:, t]
@@ -173,8 +251,12 @@ def transducer_tsd_decode(
             D: dict = {}
             for hyp in C:
                 logp = np.asarray(joint(h_t, hyp.g)[0])
+                lm_carry, lm_logp = _lm_expand(lm, hyp)
                 # blank → goes to A (next frame)
-                cand = _Hyp(hyp.score + float(logp[blank]), hyp.yseq, hyp.carry, hyp.g)
+                cand = _Hyp(
+                    hyp.score + float(logp[blank]), hyp.yseq, hyp.carry,
+                    hyp.g, hyp.lm_carry,
+                )
                 if cand.yseq in A:
                     A[cand.yseq].score = float(np.logaddexp(A[cand.yseq].score, cand.score))
                 else:
@@ -185,11 +267,11 @@ def transducer_tsd_decode(
                     if v == blank:
                         continue
                     new_carry, new_g = pred(hyp.carry, jnp.array([v], jnp.int32))
+                    sc = hyp.score + float(logp[v])
+                    if lm is not None:
+                        sc += lm.weight * float(lm_logp[v])
                     nh = _Hyp(
-                        hyp.score + float(logp[v]),
-                        hyp.yseq + (int(v),),
-                        new_carry,
-                        new_g,
+                        sc, hyp.yseq + (int(v),), new_carry, new_g, lm_carry
                     )
                     if nh.yseq in D:
                         D[nh.yseq].score = float(np.logaddexp(D[nh.yseq].score, nh.score))
@@ -211,10 +293,12 @@ def transducer_alsd_decode(
     beam_size: int = 5,
     u_max_ratio: float = 1.0,
     score_norm: bool = True,
+    lm: Optional[LMFusion] = None,
+    blank_penalty: float = 0.0,
 ) -> List[Tuple[List[int], float]]:
     """Align-length synchronous decoding (beam_search_transducer.py:349):
     hypotheses advance along n = t + u diagonals; final hyps harvested
-    when t reaches T."""
+    when t reaches T. LM fusion per reference :415-430."""
     blank = model.blank
     t_max = int(hlen)
     u_max = int(u_max_ratio * t_max)
@@ -223,7 +307,7 @@ def transducer_alsd_decode(
 
     carry0 = model.apply(variables, 1, method="pred_init")
     _, g0 = pred(carry0, jnp.zeros((1,), jnp.int32))
-    B = [_Hyp(0.0, (), carry0, g0)]
+    B = [_Hyp(0.0, (), carry0, g0, lm.init(1) if lm else None)]
     final: List[_Hyp] = []
 
     for n in range(t_max + u_max):
@@ -235,8 +319,12 @@ def transducer_alsd_decode(
                 continue
             h_t = hs[:, t]
             logp = np.asarray(joint(h_t, hyp.g)[0])
+            lm_carry, lm_logp = _lm_expand(lm, hyp)
             # blank advances t
-            cand = _Hyp(hyp.score + float(logp[blank]), hyp.yseq, hyp.carry, hyp.g)
+            cand = _Hyp(
+                hyp.score + float(logp[blank]) - blank_penalty,
+                hyp.yseq, hyp.carry, hyp.g, hyp.lm_carry,
+            )
             if t == t_max - 1:
                 final.append(cand)
             if cand.yseq in A:
@@ -249,11 +337,11 @@ def transducer_alsd_decode(
                     if v == blank:
                         continue
                     new_carry, new_g = pred(hyp.carry, jnp.array([v], jnp.int32))
+                    sc = hyp.score + float(logp[v])
+                    if lm is not None:
+                        sc += lm.weight * float(lm_logp[v])
                     nh = _Hyp(
-                        hyp.score + float(logp[v]),
-                        hyp.yseq + (int(v),),
-                        new_carry,
-                        new_g,
+                        sc, hyp.yseq + (int(v),), new_carry, new_g, lm_carry
                     )
                     if nh.yseq in A:
                         A[nh.yseq].score = float(np.logaddexp(A[nh.yseq].score, nh.score))
@@ -277,19 +365,20 @@ def transducer_nsc_decode(
     beam_size: int = 5,
     nstep: int = 2,
     score_norm: bool = True,
+    lm: Optional[LMFusion] = None,
 ) -> List[Tuple[List[int], float]]:
     """N-step constrained beam search (beam_search_transducer.py:466,
     after Kim et al. 2020): per frame, at most `nstep` label expansions;
     only the top `beam_size` expansions survive each micro-step, blank
     extensions accumulate into the next frame's beam with logaddexp
-    merging of identical prefixes."""
+    merging of identical prefixes. LM fusion per reference :556-576."""
     blank = model.blank
     joint = jax.jit(lambda h, g: model.apply(variables, h, g, method="joint_step"))
     pred = jax.jit(lambda c, t: model.apply(variables, c, t, method="pred_step"))
 
     carry0 = model.apply(variables, 1, method="pred_init")
     _, g0 = pred(carry0, jnp.zeros((1,), jnp.int32))
-    B = [_Hyp(0.0, (), carry0, g0)]
+    B = [_Hyp(0.0, (), carry0, g0, lm.init(1) if lm else None)]
 
     for t in range(int(hlen)):
         h_t = hs[:, t]
@@ -299,7 +388,11 @@ def transducer_nsc_decode(
             expansions = []
             for hyp in cur:
                 logp = np.asarray(joint(h_t, hyp.g)[0])
-                cand = _Hyp(hyp.score + float(logp[blank]), hyp.yseq, hyp.carry, hyp.g)
+                lm_carry, lm_logp = _lm_expand(lm, hyp)
+                cand = _Hyp(
+                    hyp.score + float(logp[blank]), hyp.yseq, hyp.carry,
+                    hyp.g, hyp.lm_carry,
+                )
                 if cand.yseq in next_frame:
                     next_frame[cand.yseq].score = float(
                         np.logaddexp(next_frame[cand.yseq].score, cand.score)
@@ -311,14 +404,17 @@ def transducer_nsc_decode(
                     for v in order:
                         if v == blank:
                             continue
-                        expansions.append((hyp, int(v), hyp.score + float(logp[v])))
+                        sc = hyp.score + float(logp[v])
+                        if lm is not None:
+                            sc += lm.weight * float(lm_logp[v])
+                        expansions.append((hyp, int(v), sc, lm_carry))
             if not expansions:
                 break
             expansions.sort(key=lambda e: e[2], reverse=True)
             cur = []
-            for hyp, v, sc in expansions[:beam_size]:
+            for hyp, v, sc, lm_carry in expansions[:beam_size]:
                 new_carry, new_g = pred(hyp.carry, jnp.array([v], jnp.int32))
-                cur.append(_Hyp(sc, hyp.yseq + (v,), new_carry, new_g))
+                cur.append(_Hyp(sc, hyp.yseq + (v,), new_carry, new_g, lm_carry))
         B = sorted(next_frame.values(), key=lambda h: h.score, reverse=True)[:beam_size]
 
     key = (lambda h: h.score / max(len(h.yseq), 1)) if score_norm else (lambda h: h.score)
@@ -334,9 +430,16 @@ def transducer_alsd_decode_batch(
     beam_size: int = 5,
     u_max_ratio: float = 1.0,
     score_norm: bool = True,
+    lm: Optional[LMFusion] = None,
+    blank_penalty: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched, fully jittable ALSD beam search — the TPU-first redesign
     of align_length_sync_decoding (beam_search_transducer.py:349).
+
+    Optional LM shallow fusion: `lm` must be a jittable LMFusion (e.g.
+    rnnlm_fusion) — its carry and cached next-token log-probs ride the
+    lax.scan alongside the prediction-net state, so fusion adds one
+    batched LM step per scan step and stays on device.
 
     All hypotheses advance along n = t + u diagonals with STATIC beam
     width: per step, one batched joint over (B, W) hyps, blank + top-W
@@ -365,6 +468,11 @@ def transducer_alsd_decode_batch(
 
     carry0 = model.apply(variables, b * w, method="pred_init")
     _, g0 = pred_flat(carry0, jnp.zeros((b * w,), jnp.int32))
+    if lm is not None:
+        # lm_next caches log p_lm(· | hyp tokens); SOS = token 0
+        lm_carry0, lm_next0 = lm.step(lm.init(b * w), jnp.zeros((b * w,), jnp.int32))
+    else:
+        lm_carry0, lm_next0 = (), jnp.zeros((b * w, 1))
 
     yseq0 = jnp.zeros((b, w, u_max), jnp.int32)
     ylen0 = jnp.zeros((b, w), jnp.int32)
@@ -374,7 +482,10 @@ def transducer_alsd_decode_batch(
     fin_yseq0 = jnp.zeros((b, w, u_max), jnp.int32)
     fin_ylen0 = jnp.zeros((b, w), jnp.int32)
 
-    k = w  # label expansions per hyp
+    # label expansions per hyp: the host/reference pool is the top
+    # (beam+1) of the FULL vocab with blank skipped — up to w+1 labels
+    # when blank is outside the top set (beam_search_transducer.py:404)
+    k = w + 1
     c = w * (k + 1)  # candidate pool size
     upos = jnp.arange(u_max)[None, None, :]
 
@@ -395,7 +506,7 @@ def transducer_alsd_decode_batch(
         return jnp.where(alive & first, merged, neg)
 
     def step(state, n):
-        yseq, ylen, score, carry, g, fin_s, fin_y, fin_l = state
+        yseq, ylen, score, carry, g, lm_carry, lm_next, fin_s, fin_y, fin_l = state
         t = n - ylen  # (B, W)
         active = (score > neg / 2) & (t < hlens[:, None]) & (t >= 0)
         h_t = jnp.take_along_axis(
@@ -407,11 +518,19 @@ def transducer_alsd_decode_batch(
         ).reshape(b, w, -1)  # (B, W, V)
 
         # blank candidates: same labels, t advances (implicitly at n+1)
-        sc_blank = jnp.where(active, score + logp[..., blank], neg)  # (B,W)
+        sc_blank = jnp.where(active, score + logp[..., blank] - blank_penalty, neg)
         # label candidates: top-k non-blank; per-utterance label cap
         # u_max_i = ratio · hlen_i (reference beam_search_transducer.py:362)
-        lp_lab = logp.at[..., blank].set(neg)
-        lab_scores, lab_ids = jax.lax.top_k(lp_lab, k)  # (B, W, K)
+        lab_scores, lab_ids = jax.lax.top_k(logp, k)  # (B, W, K) full vocab
+        lab_scores = jnp.where(lab_ids == blank, neg, lab_scores)
+        if lm is not None:
+            # shallow fusion on the decoder's top-k candidates
+            # (reference order: top_k by raw ytu, then += lm_weight·lm,
+            # beam_search_transducer.py:415-430)
+            lm_lab = jnp.take_along_axis(
+                lm_next.reshape(b, w, -1), lab_ids, axis=-1
+            )
+            lab_scores = lab_scores + lm.weight * lm_lab
         u_cap = jnp.minimum(
             (u_max_ratio * hlens).astype(jnp.int32), u_max
         )
@@ -448,12 +567,18 @@ def transducer_alsd_decode_batch(
         par_t = jnp.take_along_axis(t, parent, axis=1)
         is_final = (kind == 0) & (par_t == hlens[:, None] - 1) & (merged > neg / 2)
         fin_cand = jnp.where(is_final, merged, neg)
-        # merge final candidates + existing finals, recombine, keep top W
+        # merge final candidates + existing finals, keep top W — ranked
+        # by the FINAL ranking key (score/len under score_norm): the
+        # host keeps every final (beam_search_transducer.py:432) and
+        # only ranks at the end, so retention by raw score here would
+        # evict long hypotheses that win after length normalization
         all_fs = jnp.concatenate([fin_s, fin_cand], axis=1)          # (B, W+C)
         all_fy = jnp.concatenate([fin_y, cand_yseq], axis=1)
         all_fl = jnp.concatenate([fin_l, cand_ylen], axis=1)
-        fs_top, fi = jax.lax.top_k(all_fs, w)
-        fin_s = fs_top
+        all_rank = all_fs / jnp.maximum(all_fl, 1) if score_norm else all_fs
+        all_rank = jnp.where(all_fs > neg / 2, all_rank, neg)
+        _, fi = jax.lax.top_k(all_rank, w)
+        fin_s = jnp.take_along_axis(all_fs, fi, axis=1)
         fin_y = jnp.take_along_axis(all_fy, fi[..., None], axis=1)
         fin_l = jnp.take_along_axis(all_fl, fi, axis=1)
 
@@ -480,11 +605,31 @@ def transducer_alsd_decode_batch(
         )
         g = jnp.where(ext[:, None], new_g, par_g)
 
-        return (new_yseq, new_ylen, sel_scores, carry, g, fin_s, fin_y, fin_l), None
+        if lm is not None:
+            # LM state rides the beam exactly like the pred net's
+            par_lmc = jax.tree_util.tree_map(lambda x: x[flat_par], lm_carry)
+            par_lmn = lm_next[flat_par]
+            new_lmc, new_lmn = lm.step(par_lmc, sel_label.reshape(-1))
+            lm_carry = jax.tree_util.tree_map(
+                lambda nw, old: jnp.where(
+                    ext.reshape((-1,) + (1,) * (nw.ndim - 1)), nw, old
+                ),
+                new_lmc,
+                par_lmc,
+            )
+            lm_next = jnp.where(ext[:, None], new_lmn, par_lmn)
 
-    state0 = (yseq0, ylen0, score0, carry0, g0, fin_score0, fin_yseq0, fin_ylen0)
+        return (
+            new_yseq, new_ylen, sel_scores, carry, g, lm_carry, lm_next,
+            fin_s, fin_y, fin_l,
+        ), None
+
+    state0 = (
+        yseq0, ylen0, score0, carry0, g0, lm_carry0, lm_next0,
+        fin_score0, fin_yseq0, fin_ylen0,
+    )
     state, _ = jax.lax.scan(step, state0, jnp.arange(t_max + u_max))
-    yseq, ylen, score, _, _, fin_s, fin_y, fin_l = state
+    yseq, ylen, score, _, _, _, _, fin_s, fin_y, fin_l = state
 
     # pool = finals if any else live beam (reference fallback)
     have_final = jnp.any(fin_s > neg / 2, axis=1, keepdims=True)
