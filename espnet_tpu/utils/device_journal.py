@@ -23,6 +23,25 @@ _JOURNAL = Path(__file__).resolve().parents[2] / ".device_journal.jsonl"
 _written = False
 
 
+def journal_probe(result: str, detail: str = "") -> None:
+    """Record a tpu_health PROBE outcome (VERDICT r4 #9: the journal
+    should show recorded recovery/health, not just grant attribution).
+    Not idempotent — every probe appends."""
+    try:
+        rec = {
+            "ts": round(time.time(), 3),
+            "iso": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "pid": os.getpid(),
+            "tag": "probe",
+            "result": result,
+            "detail": detail[:200],
+        }
+        with open(_JOURNAL, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    except Exception:
+        pass
+
+
 def journal_device_use(tag: str, platform: str | None = None) -> None:
     """Append one attribution line (idempotent per process, best-effort)."""
     global _written

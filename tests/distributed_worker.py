@@ -45,6 +45,49 @@ def main():
     got = float(mean(global_batch))
     want = float(full.mean())
     assert abs(got - want) < 1e-6, (got, want)
+
+    # Multi-host-safe checkpoint round-trip (reference resume semantics
+    # abs_task.py:886-914 under sharding): a data-axis-sharded global
+    # array spans both processes → not fully addressable → np.asarray
+    # raises → save_checkpoint must take the per-process-shards path,
+    # and load_checkpoint must reassemble the global value bit-exact.
+    ckpt_dir = os.environ.get("CKPT_DIR")
+    if ckpt_dir:
+        import time
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from espnet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+        wfull = np.arange(8 * 6, dtype=np.float32).reshape(8, 6) * 0.25
+        sharding = NamedSharding(mesh, P("data", None))
+        warr = jax.make_array_from_callback(
+            wfull.shape, sharding, lambda idx: wfull[idx]
+        )
+        assert not warr.is_fully_addressable
+        state = {"w": warr, "step": np.int32(7)}
+        path = os.path.join(ckpt_dir, "state.ckpt")
+        save_checkpoint(path, state)
+        # shared-filesystem barrier: wait for the peer's shard file
+        # (gloo collectives are flaky under CPU contention in CI)
+        deadline = time.time() + 120
+        shard_dir = path + ".shards"
+        while len(os.listdir(shard_dir)) < 2:
+            if time.time() > deadline:
+                raise TimeoutError(f"peer shard never appeared in {shard_dir}")
+            time.sleep(0.2)
+        time.sleep(0.5)  # let the peer finish its write
+        restored = load_checkpoint(
+            path, {"w": np.zeros_like(wfull), "step": np.int32(0)}
+        )
+        np.testing.assert_array_equal(restored["w"], wfull)
+        assert int(restored["step"]) == 7
+        # resume: re-shard and check every local shard matches its slice
+        re_sharded = jax.device_put(restored["w"], sharding)
+        for s in re_sharded.addressable_shards:
+            np.testing.assert_array_equal(np.asarray(s.data), wfull[s.index])
+        print(f"rank{opt.process_id} CKPT_OK", flush=True)
+
     print(f"rank{opt.process_id} OK mean={got}", flush=True)
 
 

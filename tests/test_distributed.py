@@ -53,11 +53,13 @@ def test_local_slice():
 
 
 @pytest.mark.slow
-def test_two_process_jax_distributed():
+def test_two_process_jax_distributed(tmp_path):
     """Spawn 2 real processes, init jax.distributed on CPU, and check a
-    jitted global-mean over host-fed shards matches numpy."""
+    jitted global-mean over host-fed shards matches numpy — plus a
+    multi-process sharded checkpoint save→restore round-trip."""
     port = free_port()
     env_base = {
+        "CKPT_DIR": str(tmp_path),
         **os.environ,
         "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
         "MASTER_ADDR": "127.0.0.1",
@@ -92,3 +94,7 @@ def test_two_process_jax_distributed():
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank{rank} failed:\n{out}"
         assert f"rank{rank} OK" in out
+        assert f"rank{rank} CKPT_OK" in out
+    # both processes wrote their own shard file
+    shard_files = sorted((tmp_path / "state.ckpt.shards").glob("process_*.pkl"))
+    assert [f.name for f in shard_files] == ["process_0.pkl", "process_1.pkl"]

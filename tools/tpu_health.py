@@ -48,7 +48,16 @@ def main():
             if attempt < args.retries:
                 print(f"attempt {attempt + 1}: timeout {args.timeout}s "
                       "(may be tunnel cold-start); retrying")
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from espnet_tpu.utils.device_journal import journal_probe
+
     if r is None:
+        journal_probe(
+            "WEDGED", f"{1 + args.retries} attempts of {args.timeout}s"
+        )
         print(
             f"WEDGED: no response in {1 + args.retries} attempts of "
             f"{args.timeout}s — likely a stalled server-side compile "
@@ -60,9 +69,11 @@ def main():
     out = (r.stdout + r.stderr).strip().splitlines()
     for line in out:
         if line.startswith("HEALTHY"):
+            journal_probe("HEALTHY", line)
             print(line)
             return 0
     tail = "\n".join(out[-4:])
+    journal_probe("BACKEND_ERROR", tail)
     print(f"BACKEND ERROR (rc={r.returncode}):\n{tail}")
     return 3
 
