@@ -459,18 +459,13 @@ def child_main(deadline: float):
         extra["conformer_large_mfu_pct"] = round(mfu, 2)
         return round(v, 2)
 
+    # order: LM and Tacotron2 run BEFORE the expensive d=512 bench —
+    # they were budget-starved in the r3/r4 captures (VERDICT r4 weak #6)
     phases = [
         (
             "greedy_ctc_decode_rtf",
             lambda: round(bench_greedy_decode_rtf(model, variables, batch), 6),
             60,
-        ),
-        ("conformer_large_audio_s_per_s_per_chip", _large, 240),
-        ("rnnt_pallas_fwdbwd_speedup", lambda: _round_opt(bench_rnnt_kernel()), 60),
-        (
-            "transducer_train_audio_s_per_s_per_chip",
-            lambda: round(bench_transducer_train(), 2),
-            120,
         ),
         (
             "lm_train_tokens_per_s_per_chip",
@@ -480,6 +475,13 @@ def child_main(deadline: float):
         (
             "tacotron2_train_audio_s_per_s_per_chip",
             lambda: round(bench_tacotron2_train(), 2),
+            120,
+        ),
+        ("conformer_large_audio_s_per_s_per_chip", _large, 240),
+        ("rnnt_pallas_fwdbwd_speedup", lambda: _round_opt(bench_rnnt_kernel()), 60),
+        (
+            "transducer_train_audio_s_per_s_per_chip",
+            lambda: round(bench_transducer_train(), 2),
             120,
         ),
     ]

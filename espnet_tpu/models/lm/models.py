@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from espnet_tpu.layers.embedding import PositionalEncoding
+from espnet_tpu.layers.embedding import PositionalEncoding, sinusoidal_table
 from espnet_tpu.layers.feed_forward import PositionwiseFeedForward
 from espnet_tpu.layers.attention import MultiHeadedAttention
 from espnet_tpu.utils.masks import make_non_pad_mask, subsequent_mask
@@ -80,6 +80,68 @@ class SequentialRNNLM(nn.Module):
         return logits
 
 
+class TransformerLMLayer(nn.Module):
+    """Pre-norm self-attention + FF block with a KV-cached `step` for
+    incremental beam-search scoring (mirrors TransformerDecoderLayer.step,
+    models/asr/transformer_decoder.py, minus cross-attention)."""
+
+    attention_dim: int
+    attention_heads: int
+    linear_units: int
+    dropout_rate: float = 0.1
+    dtype: type = jnp.float32
+
+    def setup(self):
+        self.norm1 = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)
+        self.self_attn = MultiHeadedAttention(
+            self.attention_heads, self.attention_dim, dtype=self.dtype
+        )
+        self.norm2 = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)
+        self.feed_forward = PositionwiseFeedForward(
+            self.linear_units, self.dropout_rate, dtype=self.dtype
+        )
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, x, mask, deterministic: bool = True):
+        residual = x
+        h = self.norm1(x)
+        h = self.self_attn(h, h, h, mask, deterministic=deterministic)
+        x = residual + self.dropout(h, deterministic=deterministic)
+        residual = x
+        h = self.norm2(x)
+        h = self.feed_forward(h, deterministic=deterministic)
+        return residual + self.dropout(h, deterministic=deterministic)
+
+    def step(self, x_t, cache_k, cache_v, pos):
+        """One query position with KV cache: x_t (N, 1, D),
+        cache_k/v (N, Lmax, H, Dk), pos (N,) → (y_t, k, v)."""
+        from espnet_tpu.layers.attention import MASK_MIN
+
+        n, lmax, h, dk = cache_k.shape
+        att = self.self_attn
+        residual = x_t
+        x = self.norm1(x_t)
+        q = att.linear_q(x).reshape(n, 1, h, dk)
+        k_t = att.linear_k(x).reshape(n, h, dk)
+        v_t = att.linear_v(x).reshape(n, h, dk)
+        onehot = jax.nn.one_hot(pos, lmax, dtype=cache_k.dtype)  # (N, Lmax)
+        oh = onehot[..., None, None]
+        cache_k = cache_k * (1 - oh) + oh * k_t[:, None]
+        cache_v = cache_v * (1 - oh) + oh * v_t[:, None]
+        scores = jnp.einsum("nqhd,nkhd->nhqk", q, cache_k) / jnp.sqrt(
+            jnp.asarray(dk, dtype=q.dtype)
+        )
+        valid = jnp.arange(lmax)[None, :] <= pos[:, None]
+        scores = jnp.where(valid[:, None, None, :], scores, MASK_MIN)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
+        out = jnp.einsum("nhqk,nkhd->nqhd", attn, cache_v).reshape(n, 1, h * dk)
+        x = residual + att.linear_out(out)
+        residual = x
+        xf = self.norm2(x)
+        x = residual + self.feed_forward(xf)
+        return x, cache_k, cache_v
+
+
 class TransformerLM(nn.Module):
     vocab_size: int
     attention_dim: int = 256
@@ -89,7 +151,19 @@ class TransformerLM(nn.Module):
     dropout_rate: float = 0.1
     dtype: type = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.embed = nn.Embed(self.vocab_size, self.attention_dim, dtype=self.dtype)
+        self.pos_enc = PositionalEncoding(self.attention_dim, self.dropout_rate)
+        self.layers = [
+            TransformerLMLayer(
+                self.attention_dim, self.attention_heads, self.linear_units,
+                self.dropout_rate, self.dtype,
+            )
+            for _ in range(self.num_blocks)
+        ]
+        self.final_norm = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)
+        self.output = nn.Dense(self.vocab_size)
+
     def __call__(
         self,
         tokens: jnp.ndarray,
@@ -97,28 +171,15 @@ class TransformerLM(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         b, l = tokens.shape
-        x = nn.Embed(self.vocab_size, self.attention_dim, dtype=self.dtype)(tokens)
-        x = PositionalEncoding(self.attention_dim, self.dropout_rate)(
-            x, deterministic=deterministic
-        )
+        x = self.embed(tokens)
+        x = self.pos_enc(x, deterministic=deterministic)
         mask = subsequent_mask(l)[None]
         if lengths is not None:
             mask = mask & make_non_pad_mask(lengths, l)[:, None, :]
-        for _ in range(self.num_blocks):
-            residual = x
-            h = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)(x)
-            h = MultiHeadedAttention(
-                self.attention_heads, self.attention_dim, dtype=self.dtype
-            )(h, h, h, mask, deterministic=deterministic)
-            x = residual + nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-            residual = x
-            h = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)(x)
-            h = PositionwiseFeedForward(
-                self.linear_units, self.dropout_rate, dtype=self.dtype
-            )(h, deterministic=deterministic)
-            x = residual + nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)(x)
-        return nn.Dense(self.vocab_size)(x.astype(jnp.float32))
+        for layer in self.layers:
+            x = layer(x, mask, deterministic=deterministic)
+        x = self.final_norm(x)
+        return self.output(x.astype(jnp.float32))
 
     def score_prefix(self, yseq: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
         """Next-token log-probs after yseq[:, :pos+1] → (N, V)."""
@@ -126,6 +187,42 @@ class TransformerLM(nn.Module):
         pos = jnp.broadcast_to(jnp.asarray(pos), (yseq.shape[0],))
         sel = jnp.take_along_axis(logits, pos[:, None, None], axis=1)[:, 0]
         return nn.log_softmax(sel, axis=-1)
+
+    def init_cache(self, n: int, lmax: int):
+        """Per-layer KV buffers for incremental scoring."""
+        dk = self.attention_dim // self.attention_heads
+        shape = (n, lmax, self.attention_heads, dk)
+        return {
+            f"layer_{i}": {
+                "k": jnp.zeros(shape, self.dtype),
+                "v": jnp.zeros(shape, self.dtype),
+            }
+            for i in range(self.num_blocks)
+        }
+
+    def score_step(self, cache, token: jnp.ndarray, pos: jnp.ndarray):
+        """Next-token log-probs with cache update → ((N, V), cache).
+        One token's FLOPs per step — the beam-search fast path
+        (reference TransformerLM implements BatchScorerInterface,
+        espnet/nets/pytorch_backend/lm/transformer.py:18)."""
+        n = token.shape[0]
+        x = self.embed(token)[:, None, :]
+        x = x * jnp.sqrt(float(self.attention_dim)).astype(x.dtype)
+        lmax = next(iter(cache.values()))["k"].shape[1]
+        pe = sinusoidal_table(lmax, self.attention_dim, x.dtype)
+        x = x + jnp.take_along_axis(
+            jnp.broadcast_to(pe[None], (n, lmax, self.attention_dim)),
+            pos[:, None, None],
+            axis=1,
+        )
+        new_cache = {}
+        for i, layer in enumerate(self.layers):
+            c = cache[f"layer_{i}"]
+            x, ck, cv = layer.step(x, c["k"], c["v"], pos)
+            new_cache[f"layer_{i}"] = {"k": ck, "v": cv}
+        x = self.final_norm(x)
+        logits = self.output(x.astype(jnp.float32))[:, 0]
+        return nn.log_softmax(logits, axis=-1), new_cache
 
 
 def lm_nll(

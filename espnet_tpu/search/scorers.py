@@ -83,6 +83,26 @@ def transformer_lm_scorer(lm, variables, weight: float) -> FullScorer:
     return FullScorer(weight, init, score)
 
 
+def transformer_lm_cached_scorer(lm, variables, weight: float) -> FullScorer:
+    """KV-cached incremental transformer-LM scorer — one token's FLOPs
+    per beam step (vs transformer_lm_scorer's full-prefix recompute);
+    the right scorer for large-beam operating points (reference
+    decode_pytorch_transformer_large.yaml: beam 60, lm-weight 0.6)."""
+
+    def init(mem, mem_lens, maxlen):
+        n = mem.shape[0]
+        return lm.apply(variables, n, maxlen, method="init_cache")
+
+    def score(state, yseq, pos):
+        token = jnp.take_along_axis(yseq, pos[:, None], axis=1)[:, 0]
+        logp, new_cache = lm.apply(
+            variables, state, token, pos, method="score_step"
+        )
+        return logp, new_cache
+
+    return FullScorer(weight, init, score)
+
+
 def rnn_lm_scorer(lm, variables, weight: float) -> FullScorer:
     def init(mem, mem_lens, maxlen=None):
         n = mem.shape[0]

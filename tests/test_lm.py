@@ -37,6 +37,27 @@ def test_transformer_lm_score_prefix():
     np.testing.assert_allclose(np.asarray(sp[1]), np.asarray(logp_all[1, 3]), rtol=1e-5)
 
 
+def test_transformer_lm_cached_step_matches_prefix():
+    """KV-cached score_step must equal the stateless score_prefix at
+    every position (the beam-60 fast path)."""
+    lm = TransformerLM(V, attention_dim=16, attention_heads=2,
+                       linear_units=16, num_blocks=2)
+    rng = np.random.RandomState(2)
+    toks = jnp.asarray(rng.randint(0, V, (3, 6)))
+    variables = lm.init(jax.random.PRNGKey(0), toks)
+    lmax = 6
+    cache = lm.apply(variables, 3, lmax, method="init_cache")
+    for t in range(lmax):
+        pos = jnp.full((3,), t, jnp.int32)
+        got, cache = lm.apply(
+            variables, cache, toks[:, t], pos, method="score_step"
+        )
+        want = lm.apply(variables, toks, pos, method="score_prefix")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
+
+
 @pytest.mark.slow
 def test_lm_train_cli_and_perplexity(tmp_path):
     # corpus with strong bigram structure
