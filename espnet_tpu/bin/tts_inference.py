@@ -68,6 +68,15 @@ def main(argv=None):
     parser.add_argument("--ckpt", required=True)
     parser.add_argument("--output_dir", required=True)
     parser.add_argument("--fs", type=int, default=16000)
+    parser.add_argument("--maxlenratio", type=float, default=10.0,
+                        help="decoder frame cap = maxlenratio * text len "
+                        "(reference inference maxlenratio; raise for "
+                        "corpora with long per-token durations — if "
+                        "output lengths saturate at the cap, synthesis "
+                        "was truncated mid-utterance)")
+    parser.add_argument("--minlenratio", type=float, default=0.0)
+    parser.add_argument("--threshold", type=float, default=0.5,
+                        help="stop-token probability threshold")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -85,7 +94,11 @@ def main(argv=None):
         model, variables, token_list,
         fs=fe.get("fs", args.fs), n_fft=fe.get("n_fft", 1024),
         hop_length=fe.get("hop_length", 256), n_mels=fe.get("n_mels", 80),
-        fmin=fe.get("fmin", 80.0), fmax=fe.get("fmax", 7600.0),
+        # match the ANALYSIS filterbank (log_mel_spectrogram defaults) so
+        # the Griffin-Lim inverse uses the same mel basis as training
+        fmin=fe.get("fmin", 0.0), fmax=fe.get("fmax", None),
+        maxlenratio=args.maxlenratio, minlenratio=args.minlenratio,
+        threshold=args.threshold,
     )
     out = Path(args.output_dir)
     (out / "wav").mkdir(parents=True, exist_ok=True)

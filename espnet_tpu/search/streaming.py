@@ -58,20 +58,83 @@ def _collapse_path(path: np.ndarray) -> List[int]:
 
 
 class WindowStreamingASR:
-    def __init__(self, model, variables, hop_frames: int = 16, pad_to: int = 64):
+    """Growing-window streaming with a DEVICE-RESIDENT buffer.
+
+    Per hop, only the new chunk (hop × D, a few KB) is uploaded; one
+    fused dispatch does dynamic_update_slice into the on-device window
+    + encode + CTC argmax, returning just the id path. Measured on the
+    tunnel (tools/bench_streaming.py): the per-dispatch floor is
+    ~25 ms and the encode compute is ~1 ms regardless of window size
+    (128 → 1024 frames identical) — so re-uploading the whole window
+    every hop (the previous design, 62 ms/hop median) paid pure
+    transfer cost. The buffer capacity doubles from `pad_to` as the
+    stream grows, so the encoder compiles O(log T) programs total.
+    """
+
+    def __init__(self, model, variables, hop_frames: int = 16,
+                 pad_to: int = 64, max_frames: int = 8192):
         self.model = model
         self.variables = variables
         self.hop = hop_frames
         self.pad_to = pad_to
-        self.buf: Optional[np.ndarray] = None
-        self._step = _fused_greedy_step(model, variables)
+        self.max_frames = max_frames
+        self.buf = None            # device (1, cap, D)
+        self.t_cur = 0
+        self._steps = {}           # (cap, chunk_pad) -> jitted fused step
+
+    def _step_fn(self, cap: int, chunk_pad: int):
+        key = (cap, chunk_pad)
+        if key not in self._steps:
+            model, variables = self.model, self.variables
+
+            @jax.jit
+            def step(buf, chunk, t_cur, total_len):
+                buf = jax.lax.dynamic_update_slice(buf, chunk, (0, t_cur, 0))
+                hs, hlens = model.apply(
+                    variables, buf, total_len[None], method="encode"
+                )
+                logp = model.apply(variables, hs, method="ctc_log_softmax")
+                return buf, jnp.argmax(logp, axis=-1).astype(jnp.int32), hlens
+
+            self._steps[key] = step
+        return self._steps[key]
+
+    def reset(self):
+        self.buf, self.t_cur = None, 0
 
     def accept_input(self, frames: np.ndarray) -> List[int]:
         """frames: (t, D) new feature frames → current hypothesis ids."""
-        self.buf = frames if self.buf is None else np.concatenate([self.buf, frames])
-        speech = jnp.asarray(_pad_frames(self.buf, self.pad_to)[None])
-        lens = jnp.array([self.buf.shape[0]])
-        ids, hlens = self._step(speech, lens)
+        frames = np.asarray(frames, dtype=np.float32)
+        t_new, d = frames.shape
+        chunk_pad = max(
+            (t_new + self.hop - 1) // self.hop * self.hop, self.hop
+        )
+        if chunk_pad > t_new:
+            frames = np.pad(frames, ((0, chunk_pad - t_new), (0, 0)))
+        if self.buf is None:
+            self.t_cur = 0  # `stream.buf = None` is the legacy reset
+        total = self.t_cur + t_new
+        if total > self.max_frames:
+            raise ValueError(
+                f"window stream exceeded max_frames={self.max_frames}; "
+                "use SegmentStreamingASR for unbounded streams"
+            )
+        cap = self.pad_to
+        while cap < total:
+            cap *= 2
+        if self.buf is None:
+            self.buf = jnp.zeros((1, cap, d), jnp.float32)
+        elif self.buf.shape[1] < cap:
+            # rare growth hop: zero-extend on device
+            self.buf = jnp.pad(
+                self.buf, ((0, 0), (0, cap - self.buf.shape[1]), (0, 0))
+            )
+        step = self._step_fn(cap, chunk_pad)
+        self.buf, ids, hlens = step(
+            self.buf, jnp.asarray(frames[None]),
+            jnp.int32(self.t_cur), jnp.int32(total),
+        )
+        self.t_cur = total
         path = np.asarray(ids)[0, : int(hlens[0])]
         return _collapse_path(path)
 

@@ -61,10 +61,14 @@ fi
 if [ $stage -le 3 ] && [ $stop_stage -ge 3 ]; then
   echo "=== stage 3: synthesize $n_synth held-out utts (Griffin-Lim) + MCD"
   head -$n_synth $datadir/test/text > $ttsdir/synth_text
+  # maxlenratio 30: this corpus runs ~23 mel frames per character
+  # (slow spelled speech); the reference default 10 truncates synthesis
+  # mid-utterance (attention reached char 7/15 when the cap hit)
   python -m espnet_tpu.bin.tts_inference \
     --text $ttsdir/synth_text \
     --config $ttsdir/config.yaml \
     --ckpt $ttsdir/valid.loss.best.ckpt \
+    --maxlenratio 30 \
     --output_dir $ttsdir/synth
   python - <<'PYEOF'
 from pathlib import Path
@@ -72,8 +76,10 @@ lines = [f"{w.stem} {w.resolve()}"
          for w in sorted(Path('exp/tts_tacotron2/synth/wav').glob('*.wav'))]
 Path('exp/tts_tacotron2/synth/hyp_wav.scp').write_text("\n".join(lines))
 PYEOF
+  # analysis params must match the corpus (8 kHz, 10 ms hop)
   python -m espnet_tpu.bin.mcd_calculate \
     --ref $datadir/test/wav.scp --hyp $ttsdir/synth/hyp_wav.scp \
+    --fs 8000 --n_fft 256 --hop_length 80 \
     --out $ttsdir/synth/mcd.json
   cat $ttsdir/synth/mcd.json; echo
 fi

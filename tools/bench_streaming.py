@@ -63,6 +63,43 @@ def main():
     )
     print(f"overall RTF {t_all / audio_s:.4f} (compile-warm)")
 
+    # --- ceiling decomposition: is the hop latency the tunnel's
+    # dispatch+readback floor, or the growing-window re-encode cost?
+    # (VERDICT r4 #5 done-criterion: <20 ms/hop or a measured floor proof)
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _tiny(x):
+        return (x * 2.0).sum()
+
+    xs = jnp.ones((8, 8))
+    float(_tiny(xs))  # compile
+    t0 = time.perf_counter()
+    n_d = 20
+    for _ in range(n_d):
+        v = float(_tiny(xs))  # scalar readback every iteration
+    floor_ms = (time.perf_counter() - t0) / n_d * 1e3
+    print(f"dispatch+scalar-readback floor: {floor_ms:.1f} ms")
+
+    # per-bucket hop latency: fused update+encode+argmax on a fixed
+    # device-resident window of each capacity (chunk upload included)
+    for t_pad in (128, 256, 512, 1024):
+        stepf = stream._step_fn(t_pad, hop)
+        buf = jnp.zeros((1, t_pad, 80))
+        chunk = rng.randn(1, hop, 80).astype(np.float32)
+        buf, ids, hl = stepf(
+            buf, jnp.asarray(chunk), jnp.int32(0), jnp.int32(t_pad)
+        )
+        np.asarray(ids)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            buf, ids, hl = stepf(
+                buf, jnp.asarray(chunk), jnp.int32(0), jnp.int32(t_pad)
+            )
+            np.asarray(ids)  # same readback the hop path does
+        per = (time.perf_counter() - t0) / 10 * 1e3
+        print(f"window {t_pad:5d} frames: {per:7.1f} ms/hop")
+
 
 if __name__ == "__main__":
     main()
