@@ -34,8 +34,9 @@ def main(beam_size=60, batch=8, t_frames=512, maxlen=48, lm_blocks=16):
         transformer_decoder_cached_scorer,
         transformer_lm_cached_scorer,
     )
-    from espnet_tpu.utils.env import enable_fast_tpu_rng
+    from espnet_tpu.utils.env import apply_jax_platform_env, enable_fast_tpu_rng
 
+    apply_jax_platform_env()  # honor JAX_PLATFORMS=cpu over sitecustomize
     enable_fast_tpu_rng()
     vocab = 5000  # reference BPE-5000 word pieces
     enc = ConformerEncoder(
