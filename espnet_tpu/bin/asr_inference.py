@@ -18,6 +18,7 @@ from espnet_tpu.search.greedy import ctc_greedy_decode_host
 from espnet_tpu.search.scorers import (
     rnn_decoder_scorer,
     rnn_lm_scorer,
+    transformer_lm_cached_scorer,
     transformer_decoder_cached_scorer,
     transformer_decoder_scorer,
     transformer_lm_scorer,
@@ -93,7 +94,12 @@ class Speech2Text:
             if isinstance(lm, SequentialRNNLM):
                 scorers["lm"] = rnn_lm_scorer(lm, lm_variables, lm_weight)
             else:
-                scorers["lm"] = transformer_lm_scorer(lm, lm_variables, lm_weight)
+                # KV-cached incremental scoring: one token's FLOPs per
+                # beam step (the stateless transformer_lm_scorer
+                # recomputes the whole prefix each step)
+                scorers["lm"] = transformer_lm_cached_scorer(
+                    lm, lm_variables, lm_weight
+                )
 
         self.pure_ctc = not scorers
         if not self.pure_ctc:

@@ -135,3 +135,36 @@ def test_ctc_greedy_decode_matches_host():
     for b in range(3):
         got = [int(x) for x in np.asarray(ids[b])[: int(lens[b])]]
         assert got == host[b]
+
+
+def test_cached_transformer_lm_scorer_matches_stateless():
+    """Beam search with the KV-cached transformer-LM scorer must produce
+    the same hypotheses and scores as the stateless score_prefix scorer."""
+    from espnet_tpu.models.lm.models import TransformerLM
+    from espnet_tpu.search.scorers import (
+        transformer_decoder_cached_scorer,
+        transformer_lm_cached_scorer,
+        transformer_lm_scorer,
+    )
+
+    model, dec, dec_vars, hs, hlens, ctc_logp = _setup(seed=3, ctc_weight=0.3)
+    lm = TransformerLM(V, attention_dim=16, attention_heads=2,
+                       linear_units=16, num_blocks=2)
+    lm_vars = lm.init(jax.random.PRNGKey(7), np.zeros((1, 4), np.int32))
+
+    outs = []
+    for lm_scorer in (transformer_lm_scorer, transformer_lm_cached_scorer):
+        bs = BeamSearch(
+            {
+                "decoder": transformer_decoder_cached_scorer(dec, dec_vars, 0.6),
+                "lm": lm_scorer(lm, lm_vars, 0.4),
+            },
+            vocab_size=V, sos=V - 1, eos=V - 1, beam_size=3, ctc_weight=0.3,
+        )
+        outs.append(jax.jit(
+            lambda h, hl, c, b=bs: b(h, hl, ctc_logp=c, maxlen=5)
+        )(hs, hlens, ctc_logp))
+    (y_a, l_a, s_a), (y_b, l_b, s_b) = outs
+    np.testing.assert_array_equal(np.asarray(y_a), np.asarray(y_b))
+    np.testing.assert_array_equal(np.asarray(l_a), np.asarray(l_b))
+    np.testing.assert_allclose(np.asarray(s_a), np.asarray(s_b), atol=1e-4)
