@@ -14,10 +14,14 @@ ns="1000 1250"
 arch=conformer
 expdir=exp
 datadir=data
+conf=""          # override base config (e.g. the CPU-stable schedule)
+tag=""           # suffix for exp dirs (e.g. _stable)
 while [ $# -gt 0 ]; do
   case "$1" in
     --ns) ns=$2; shift 2;;
     --arch) arch=$2; shift 2;;
+    --conf) conf=$2; shift 2;;
+    --tag) tag=$2; shift 2;;
     *) echo "unknown option $1"; exit 1;;
   esac
 done
@@ -26,7 +30,7 @@ train_set=$datadir/train
 dev_set=$datadir/dev
 test_set=$datadir/test
 tokens=$datadir/tokens.txt
-conf=conf/train_${arch}.yaml
+[ -n "$conf" ] || conf=conf/train_${arch}.yaml
 
 # stats must exist (run.sh stage 1)
 [ -f $expdir/stats/feats_stats.npz ] || [ -d $expdir/stats ] || {
@@ -55,8 +59,8 @@ PY
   rm -rf $sub
   python -m espnet_tpu.bin.data_utils subset \
     $train_set $sub --utt_list $datadir/subset_$n.list
-  subexp=$expdir/asr_${arch}_n$n
-  subconf=$expdir/train_${arch}_n$n.yaml
+  subexp=$expdir/asr_${arch}_n${n}${tag}
+  subconf=$expdir/train_${arch}_n${n}${tag}.yaml
   python - "$conf" "$subconf" "$n" <<'PY'
 import sys, yaml
 conf, out, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
