@@ -19,14 +19,14 @@ ck=$asrdir/valid.loss.best.ckpt
 lm="--lm_config $expdir/lm/config.yaml --lm_ckpt $expdir/lm/valid.loss.best.ckpt"
 
 decode () {  # decode <outdir> <extra args...>
-  local outdir=$asrdir/$1; shift
+  local name=$1 outdir=$asrdir/$1; shift
   python -m espnet_tpu.bin.asr_recog \
     --data $test_set/wav.scp,speech,sound --text $test_set/text \
     --config $asrdir/config.yaml --ckpt $ck \
     --output_dir $outdir --batch_size 16 "$@"
   python - <<PY
 import json; s = json.load(open("$outdir/summary.json"))
-print("$1:", json.dumps(s))
+print("$name:", json.dumps(s))
 PY
 }
 
