@@ -1,3 +1,8 @@
-from espnet_tpu.models.lm.models import SequentialRNNLM, TransformerLM, lm_nll
+from espnet_tpu.models.lm.models import (
+    ScannedTransformerLM,
+    SequentialRNNLM,
+    TransformerLM,
+    lm_nll,
+)
 
-__all__ = ["SequentialRNNLM", "TransformerLM", "lm_nll"]
+__all__ = ["ScannedTransformerLM", "SequentialRNNLM", "TransformerLM", "lm_nll"]

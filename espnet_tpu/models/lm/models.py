@@ -225,6 +225,116 @@ class TransformerLM(nn.Module):
         return nn.log_softmax(logits, axis=-1), new_cache
 
 
+
+
+class ScannedTransformerLM(nn.Module):
+    """TransformerLM with the layer stack as a jax.lax.scan over ONE
+    layer's stacked params — the compiled program (and its serialized
+    HLO) is CONSTANT in depth instead of linear. TPU-first rationale:
+    deep stacks unrolled per-layer inflate compile time and, under the
+    remote-compile tunnel, the 16-block reference LM's beam-60 program
+    exceeds the upload size limit (HTTP 413, measured r5); the scanned
+    form ships one layer body. Param tree differs from TransformerLM
+    (leading L axis on every layer leaf) — fresh models only; same
+    scorer surface (__call__/score_prefix/init_cache/score_step)."""
+
+    vocab_size: int
+    attention_dim: int = 256
+    attention_heads: int = 2
+    linear_units: int = 1024
+    num_blocks: int = 4
+    dropout_rate: float = 0.1
+    dtype: type = jnp.float32
+
+    def setup(self):
+        self.embed = nn.Embed(self.vocab_size, self.attention_dim, dtype=self.dtype)
+        self.pos_enc = PositionalEncoding(self.attention_dim, self.dropout_rate)
+        self.final_norm = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)
+        self.output = nn.Dense(self.vocab_size)
+        # ONE layer submodule; function-target nn.scans stack its params
+        # along a leading num_blocks axis (variable_axes={"params": 0})
+        # and both the forward and the cached step share them
+        self.layer = TransformerLMLayer(
+            self.attention_dim, self.attention_heads, self.linear_units,
+            self.dropout_rate, self.dtype,
+        )
+
+    def _scan(self, body):
+        return nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.num_blocks,
+        )
+
+    def __call__(
+        self,
+        tokens: jnp.ndarray,
+        lengths: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        b, l = tokens.shape
+        x = self.embed(tokens)
+        x = self.pos_enc(x, deterministic=deterministic)
+        mask = subsequent_mask(l)[None]
+        if lengths is not None:
+            mask = mask & make_non_pad_mask(lengths, l)[:, None, :]
+
+        def fwd(layer, carry, _):
+            x, mask = carry
+            return (layer(x, mask, deterministic=deterministic), mask), None
+
+        (x, _), _ = self._scan(fwd)(self.layer, (x, mask), None)
+        x = self.final_norm(x)
+        return self.output(x.astype(jnp.float32))
+
+    def score_prefix(self, yseq: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+        logits = self(yseq, None, deterministic=True)
+        pos = jnp.broadcast_to(jnp.asarray(pos), (yseq.shape[0],))
+        sel = jnp.take_along_axis(logits, pos[:, None, None], axis=1)[:, 0]
+        return nn.log_softmax(sel, axis=-1)
+
+    def init_cache(self, n: int, lmax: int):
+        # hypothesis axis FIRST: beam search gathers scorer states along
+        # axis 0 after pruning; the layer axis (scanned) sits at axis 1
+        dk = self.attention_dim // self.attention_heads
+        shape = (n, self.num_blocks, lmax, self.attention_heads, dk)
+        return {"k": jnp.zeros(shape, self.dtype), "v": jnp.zeros(shape, self.dtype)}
+
+    def score_step(self, cache, token: jnp.ndarray, pos: jnp.ndarray):
+        n = token.shape[0]
+        x = self.embed(token)[:, None, :]
+        x = x * jnp.sqrt(float(self.attention_dim)).astype(x.dtype)
+        lmax = cache["k"].shape[2]
+        pe = sinusoidal_table(lmax, self.attention_dim, x.dtype)
+        x = x + jnp.take_along_axis(
+            jnp.broadcast_to(pe[None], (n, lmax, self.attention_dim)),
+            pos[:, None, None],
+            axis=1,
+        )
+
+        def step(layer, carry, cache_kv):
+            x_t, pos = carry
+            k, v = cache_kv
+            y, k2, v2 = layer.step(x_t, k, v, pos)
+            return (y, pos), (k2, v2)
+
+        step_scan = nn.scan(
+            step,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=1,   # cache layer axis (hyp axis 0 stays put)
+            out_axes=1,
+            length=self.num_blocks,
+        )
+        (x, _), (k2, v2) = step_scan(
+            self.layer, (x, pos), (cache["k"], cache["v"])
+        )
+        x = self.final_norm(x)
+        logits = self.output(x.astype(jnp.float32))[:, 0]
+        return nn.log_softmax(logits, axis=-1), {"k": k2, "v": v2}
+
+
 def lm_nll(
     logits: jnp.ndarray, targets: jnp.ndarray, lengths: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -15,12 +15,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from espnet_tpu.parallel.distributed import init_distributed_and_mesh
-from espnet_tpu.models.lm import SequentialRNNLM, TransformerLM, lm_nll
+from espnet_tpu.models.lm import ScannedTransformerLM, SequentialRNNLM, TransformerLM, lm_nll
 from espnet_tpu.models.asr.espnet_model import add_sos_eos
 from espnet_tpu.utils.dynamic_import import resolve_class
 from espnet_tpu.utils.config import load_yaml, save_yaml
 
-LMS = {"seq_rnn": SequentialRNNLM, "transformer": TransformerLM}
+LMS = {
+    "seq_rnn": SequentialRNNLM,
+    "transformer": TransformerLM,
+    # scan-over-layers variant: compiled program size constant in depth
+    "transformer_scan": ScannedTransformerLM,
+}
 
 DEFAULT_CONFIG: Dict[str, Any] = {
     "token_list": None,

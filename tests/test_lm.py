@@ -190,3 +190,28 @@ def test_lm_bptt_training_ppl_parity(tmp_path):
     )
     # same bar as the sentence-level test: far below uniform (6)
     assert ppl < 3.0, ppl
+
+
+def test_scanned_transformer_lm_cached_step_matches_prefix():
+    """ScannedTransformerLM (scan-over-layers: compiled program size
+    constant in depth) — cached score_step must equal score_prefix."""
+    from espnet_tpu.models.lm import ScannedTransformerLM
+
+    lm = ScannedTransformerLM(V, attention_dim=16, attention_heads=2,
+                              linear_units=16, num_blocks=3)
+    rng = np.random.RandomState(4)
+    toks = jnp.asarray(rng.randint(0, V, (3, 6)))
+    variables = lm.init(jax.random.PRNGKey(0), toks)
+    # params carry the stacked leading num_blocks axis
+    k = variables["params"]["layer"]["norm1"]["scale"]
+    assert k.shape[0] == 3
+    cache = lm.apply(variables, 3, 6, method="init_cache")
+    for t in range(6):
+        pos = jnp.full((3,), t, jnp.int32)
+        got, cache = lm.apply(
+            variables, cache, toks[:, t], pos, method="score_step"
+        )
+        want = lm.apply(variables, toks, pos, method="score_prefix")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )

@@ -23,12 +23,17 @@ import numpy as np
 from espnet_tpu.utils.timing import force
 
 
-def main(beam_size=60, batch=8, t_frames=512, maxlen=48, lm_blocks=16):
+def main(beam_size=60, batch=8, t_frames=512, maxlen=48, lm_blocks=16,
+         cpu_encode=False, scan_lm=False):
+    """cpu_encode: run encoder+CTC on the host CPU backend and ship hs
+    to the device — the d=512 INFERENCE-mode encoder remote compile has
+    twice killed the tunnel after ~30 min (broken pipe, journaled); the
+    beam program is the operating-point measurement, so isolate it."""
     import jax
     import jax.numpy as jnp
 
     from espnet_tpu.models.asr import ASRModel, ConformerEncoder, TransformerDecoder
-    from espnet_tpu.models.lm.models import TransformerLM
+    from espnet_tpu.models.lm.models import ScannedTransformerLM, TransformerLM
     from espnet_tpu.search.beam_search import BeamSearch
     from espnet_tpu.search.scorers import (
         transformer_decoder_cached_scorer,
@@ -37,6 +42,11 @@ def main(beam_size=60, batch=8, t_frames=512, maxlen=48, lm_blocks=16):
     from espnet_tpu.utils.env import apply_jax_platform_env, enable_fast_tpu_rng
 
     apply_jax_platform_env()  # honor JAX_PLATFORMS=cpu over sitecustomize
+    if cpu_encode:
+        # expose the host CPU backend alongside the device backend
+        cur = jax.config.jax_platforms or ""
+        if "cpu" not in cur.split(","):
+            jax.config.update("jax_platforms", (cur + ",cpu").lstrip(","))
     enable_fast_tpu_rng()
     vocab = 5000  # reference BPE-5000 word pieces
     enc = ConformerEncoder(
@@ -51,8 +61,12 @@ def main(beam_size=60, batch=8, t_frames=512, maxlen=48, lm_blocks=16):
         vocab_size=vocab, encoder=enc, decoder=dec, ctc_weight=0.3,
         lsm_weight=0.1, dtype=jnp.bfloat16,
     )
-    # reference LM: transformer, 16 blocks d=512 (lm_transformer.yaml scale)
-    lm = TransformerLM(
+    # reference LM: transformer, 16 blocks d=512 (lm_transformer.yaml scale).
+    # scan_lm: scan-over-layers variant — compiled program size constant
+    # in depth (the unrolled 16-block beam program exceeds the tunnel's
+    # compile-payload limit, HTTP 413)
+    lm_cls = ScannedTransformerLM if scan_lm else TransformerLM
+    lm = lm_cls(
         vocab_size=vocab, attention_dim=512, attention_heads=8,
         linear_units=2048, num_blocks=lm_blocks, dtype=jnp.bfloat16,
     )
@@ -67,23 +81,49 @@ def main(beam_size=60, batch=8, t_frames=512, maxlen=48, lm_blocks=16):
     )
     lm_vars = lm.init(jax.random.PRNGKey(1), np.zeros((1, 4), np.int32))
 
-    encode = jax.jit(lambda s, l: model.apply(variables, s, l, method="encode"))
-    ctc_fn = jax.jit(lambda h: model.apply(variables, h, method="ctc_log_softmax"))
+    # params as jit args (not captured constants — see _run below)
+    _enc_jit_kw = {}
+    if cpu_encode:
+        _enc_jit_kw["device"] = jax.devices("cpu")[0]
+    _encode = jax.jit(
+        lambda v, s, l: model.apply(v, s, l, method="encode"), **_enc_jit_kw
+    )
+    _ctc = jax.jit(
+        lambda v, h: model.apply(v, h, method="ctc_log_softmax"), **_enc_jit_kw
+    )
+    encode = lambda s, l: _encode(variables, s, l)
+    ctc_fn = lambda h: _ctc(variables, h)
     hs, hlens = encode(jnp.asarray(feats), jnp.asarray(ilens))
     ctc_logp = ctc_fn(hs)
     force((hs, ctc_logp))
+    if cpu_encode:
+        dev = jax.devices()[0]
+        hs, hlens, ctc_logp = (
+            jax.device_put(np.asarray(hs), dev),
+            jax.device_put(np.asarray(hlens), dev),
+            jax.device_put(np.asarray(ctc_logp), dev),
+        )
 
     dec_vars = {"params": variables["params"]["decoder"]}
-    bs = BeamSearch(
-        {
-            # att weight = 1 - ctc_weight (reference recog_v2 convention)
-            "decoder": transformer_decoder_cached_scorer(model.decoder, dec_vars, 0.6),
-            "lm": transformer_lm_cached_scorer(lm, lm_vars, 0.6),
-        },
-        vocab_size=vocab, sos=vocab - 1, eos=vocab - 1,
-        beam_size=beam_size, ctc_weight=0.4,
-    )
-    run = jax.jit(lambda h, hl, c: bs(h, hl, ctc_logp=c, maxlen=maxlen))
+
+    # weights enter as jit ARGUMENTS, not closure constants: captured
+    # arrays are embedded in the serialized compile payload, and the
+    # d=512 decoder + 16-block LM weights alone exceed the tunnel's
+    # remote-compile upload limit (HTTP 413, measured r5)
+    def _run(h, hl, c, dvars, lvars):
+        bs = BeamSearch(
+            {
+                # att weight = 1 - ctc_weight (reference recog_v2 convention)
+                "decoder": transformer_decoder_cached_scorer(model.decoder, dvars, 0.6),
+                "lm": transformer_lm_cached_scorer(lm, lvars, 0.6),
+            },
+            vocab_size=vocab, sos=vocab - 1, eos=vocab - 1,
+            beam_size=beam_size, ctc_weight=0.4,
+        )
+        return bs(h, hl, ctc_logp=c, maxlen=maxlen)
+
+    _jit = jax.jit(_run)
+    run = lambda h, hl, c: _jit(h, hl, c, dec_vars, lm_vars)
     t_c0 = time.perf_counter()
     out = run(hs, hlens, ctc_logp)
     force(out)
@@ -96,10 +136,19 @@ def main(beam_size=60, batch=8, t_frames=512, maxlen=48, lm_blocks=16):
     force(out)
     dt = (time.perf_counter() - t0) / n_iter
 
-    # end-to-end: encode + ctc + beam
+    # end-to-end: encode + ctc + beam (encode on device unless cpu_encode,
+    # where e2e includes the host encode + transfer — labeled in output)
     t0 = time.perf_counter()
     hs2, hl2 = encode(jnp.asarray(feats), jnp.asarray(ilens))
-    out = run(hs2, hl2, ctc_fn(hs2))
+    c2 = ctc_fn(hs2)
+    if cpu_encode:
+        dev = jax.devices()[0]
+        hs2, hl2, c2 = (
+            jax.device_put(np.asarray(hs2), dev),
+            jax.device_put(np.asarray(hl2), dev),
+            jax.device_put(np.asarray(c2), dev),
+        )
+    out = run(hs2, hl2, c2)
     force(out)
     dt_e2e = time.perf_counter() - t0
 
@@ -112,6 +161,7 @@ def main(beam_size=60, batch=8, t_frames=512, maxlen=48, lm_blocks=16):
                     "beam": beam_size, "ctc_weight": 0.4, "lm_weight": 0.6,
                     "d_model": 512, "lm_blocks": lm_blocks, "vocab": vocab,
                     "batch": batch, "frames": t_frames, "maxlen": maxlen,
+                    "cpu_encode": cpu_encode, "scan_lm": scan_lm,
                 },
                 "beam_rtf": round(dt / audio_s, 5),
                 "e2e_rtf": round(dt_e2e / audio_s, 5),
@@ -134,5 +184,8 @@ if __name__ == "__main__":
     ap.add_argument("--t_frames", type=int, default=512)
     ap.add_argument("--maxlen", type=int, default=48)
     ap.add_argument("--lm_blocks", type=int, default=16)
+    ap.add_argument("--cpu_encode", action="store_true")
+    ap.add_argument("--scan_lm", action="store_true")
     args = ap.parse_args()
-    main(args.beam_size, args.batch, args.t_frames, args.maxlen, args.lm_blocks)
+    main(args.beam_size, args.batch, args.t_frames, args.maxlen,
+         args.lm_blocks, args.cpu_encode, args.scan_lm)
