@@ -82,7 +82,7 @@ def _forward_row(x, mask, w1, b1, dw, bdw, gscale, gbias, w2, b2, eps):
 def _fwd_kernel(eps, x_ref, m_ref, w1_ref, b1_ref, dw_ref, bdw_ref,
                 gs_ref, gb_ref, w2_ref, b2_ref, o_ref):
     x = x_ref[0]
-    mask = m_ref[0].astype(jnp.float32)
+    mask = m_ref[pl.program_id(0)].astype(jnp.float32)
     out, _ = _forward_row(
         x, mask.astype(x.dtype), w1_ref[...], b1_ref[...], dw_ref[...],
         bdw_ref[...], gs_ref[...], gb_ref[...], w2_ref[...], b2_ref[...],
@@ -96,7 +96,7 @@ def _bwd_kernel(eps, x_ref, m_ref, w1_ref, b1_ref, dw_ref, bdw_ref,
                 dx_ref, dw1_ref, db1_ref, ddw_ref, dbdw_ref,
                 dgs_ref, dgb_ref, dw2_ref, db2_ref):
     x = x_ref[0]
-    maskf = m_ref[0].astype(jnp.float32)
+    maskf = m_ref[pl.program_id(0)].astype(jnp.float32)
     mask = maskf  # (T,)
     t, d = x.shape
     k = dw_ref.shape[0]
@@ -191,9 +191,15 @@ def _bwd_kernel(eps, x_ref, m_ref, w1_ref, b1_ref, dw_ref, bdw_ref,
 
 
 def _row_specs(b, t, d, k):
-    """BlockSpecs: per-row x/mask/out blocks; whole-array weights."""
+    """BlockSpecs: per-row x/out blocks; whole-array mask + weights.
+
+    The mask rides as the FULL (B, T) array: Mosaic requires the last
+    two block dims be (8·n, 128·n) or equal to the array dims, so a
+    (1, T) per-row mask block cannot lower (second-minor 1) — the
+    kernels select their row with pl.program_id instead (found by the
+    r5 real-chip compile probe; interpret mode does not check this)."""
     row = pl.BlockSpec((1, t, d), lambda i: (i, 0, 0))
-    mrow = pl.BlockSpec((1, t), lambda i: (i, 0))
+    mrow = pl.BlockSpec((b, t), lambda i: (0, 0))
     whole = lambda *shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
     return row, mrow, whole
 

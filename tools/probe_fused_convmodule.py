@@ -101,8 +101,10 @@ def main():
             journal_probe("FUSED_CONVMODULE_ERROR", out[-200:])
             print(f"FAILED at {name} (rc={r.returncode}):\n{out[-2000:]}")
             return 3
-        print(out.splitlines()[-1])
-        journal_probe("FUSED_CONVMODULE_OK", out.splitlines()[-1][:200])
+        json_lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        result = json_lines[-1] if json_lines else out.splitlines()[-1]
+        print(result)
+        journal_probe("FUSED_CONVMODULE_OK", result[:200])
     return 0
 
 
