@@ -113,13 +113,35 @@ class Speech2Text:
                 length_bonus=penalty,
                 stop_criterion=stop_criterion,
             )
-        self._encode = jax.jit(
-            lambda speech, lens: model.apply(
-                variables, speech, lens, method="encode"
+            # weights of every scorer, threaded through jit as ARGUMENTS
+            # — closure-captured params serialize into the compile
+            # payload (compile-time bloat on any TPU; HTTP 413 under a
+            # remote-compile tunnel at d>=512 scale)
+            from espnet_tpu.search.beam_search import _NO_PARAMS
+
+            self._scorer_params = {
+                k: s.params
+                for k, s in scorers.items()
+                if s.params is not _NO_PARAMS
+            }
+            self._search = jax.jit(
+                lambda sp, hs, hlens, ctc_logp, maxlen, minlen: self.beam_search(
+                    hs,
+                    hlens,
+                    ctc_logp=ctc_logp,
+                    maxlen=maxlen,
+                    minlen=minlen,
+                    return_finished=True,
+                    scorer_params=sp,
+                ),
+                static_argnames=("maxlen", "minlen"),
             )
+        # model weights as jit arguments too (same payload rationale)
+        self._encode = jax.jit(
+            lambda v, speech, lens: model.apply(v, speech, lens, method="encode")
         )
         self._ctc_logp = jax.jit(
-            lambda hs: model.apply(variables, hs, method="ctc_log_softmax")
+            lambda v, hs: model.apply(v, hs, method="ctc_log_softmax")
         )
 
     def __call__(
@@ -131,24 +153,25 @@ class Speech2Text:
         if lengths is None:
             lengths = np.full(speech.shape[0], speech.shape[1], dtype=np.int32)
         lengths = jnp.asarray(lengths)
-        hs, hlens = self._encode(speech, lengths)
+        hs, hlens = self._encode(self.variables, speech, lengths)
 
         if self.pure_ctc:
-            logp = self._ctc_logp(hs)
+            logp = self._ctc_logp(self.variables, hs)
             hyps = ctc_greedy_decode_host(np.asarray(logp), np.asarray(hlens))
             return [
                 [self._ids_to_result(h, 0.0)] for h in hyps
             ]
 
-        ctc_logp = self._ctc_logp(hs) if self.ctc_weight > 0 else None
+        ctc_logp = (
+            self._ctc_logp(self.variables, hs) if self.ctc_weight > 0 else None
+        )
         t_enc = int(np.asarray(hlens).max())
         maxlen = (
             max(1, int(self.maxlenratio * t_enc)) if self.maxlenratio > 0 else t_enc
         )
         minlen = int(self.minlenratio * t_enc)
-        yseq, ylen, scores, finished = self.beam_search(
-            hs, hlens, ctc_logp=ctc_logp, maxlen=maxlen, minlen=minlen,
-            return_finished=True,
+        yseq, ylen, scores, finished = self._search(
+            self._scorer_params, hs, hlens, ctc_logp, maxlen, minlen
         )
         yseq, ylen, scores, finished = (
             np.array(x) for x in (yseq, ylen, scores, finished)
@@ -166,9 +189,8 @@ class Speech2Text:
                 "%d utt(s) had no finished hypothesis; retrying with "
                 "minlenratio %.1f", int((~finished).sum()), ratio,
             )
-            y2, l2, s2, f2 = map(np.asarray, self.beam_search(
-                hs, hlens, ctc_logp=ctc_logp, maxlen=maxlen, minlen=minlen,
-                return_finished=True,
+            y2, l2, s2, f2 = map(np.asarray, self._search(
+                self._scorer_params, hs, hlens, ctc_logp, maxlen, minlen
             ))
             redo = ~finished
             yseq[redo], ylen[redo], scores[redo] = y2[redo], l2[redo], s2[redo]

@@ -11,8 +11,16 @@ inside pjit, and across hosts with sharded batches.
 
 Scorer protocol (≙ ScorerInterface/BatchScorerInterface
 scorer_interface.py:11,85): a FullScorer owns
-    init(memory, memory_lens) -> state            (leading dim N = B*W)
-    score(state, yseq, pos)  -> (logp (N, V), new_state)
+    init(params, memory, memory_lens, maxlen) -> state   (leading dim N = B*W)
+    score(params, state, yseq, pos) -> (logp (N, V), new_state)
+where `params` is the scorer's weight pytree, threaded through the
+search as data (NOT a closure capture): callers jit the whole search
+with the per-scorer params as ARGUMENTS, so weights never serialize
+into the compiled program as constants (captured constants bloat the
+compile payload and, under a remote-compile tunnel, can exceed request
+limits at d>=512 scale). Legacy scorers built without a `params` field
+keep the old closure-capture signatures init(mem, lens, maxlen) /
+score(state, yseq, pos) and still work.
 States are pytrees; pruning gathers them by flat hypothesis index.
 The CTC prefix scorer (PartialScorer) is handled natively via
 espnet_tpu.search.ctc_prefix.
@@ -34,18 +42,40 @@ from espnet_tpu.search.ctc_prefix import (
 
 NEG_INF = -1.0e10
 
+# Sentinel marking a scorer built with the legacy closure-capture
+# protocol (init/score take no leading params argument).
+_NO_PARAMS = object()
+
 
 @dataclasses.dataclass
 class FullScorer:
     """A label-synchronous scorer producing (N, V) log-probs per step.
 
-    init(memory (N,T,D), memory_lens (N,), maxlen) -> state
-    score(state, yseq (N,L), pos (N,)) -> (logp (N,V), new_state)
+    Params-threaded protocol (preferred — lets callers pass weights as
+    jit arguments instead of baked-in constants):
+        init(params, memory (N,T,D), memory_lens (N,), maxlen) -> state
+        score(params, state, yseq (N,L), pos (N,)) -> (logp (N,V), new_state)
+    with `params` defaulting to the pytree stored in `self.params`.
+
+    Legacy protocol (params left at the _NO_PARAMS sentinel):
+        init(memory, memory_lens, maxlen) -> state
+        score(state, yseq, pos) -> (logp, new_state)
     """
 
     weight: float
     init: Callable[..., Any]
-    score: Callable[[Any, jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, Any]]
+    score: Callable[..., Tuple[jnp.ndarray, Any]]
+    params: Any = _NO_PARAMS
+
+    def call_init(self, params, mem, mem_lens, maxlen):
+        if params is _NO_PARAMS:
+            return self.init(mem, mem_lens, maxlen)
+        return self.init(params, mem, mem_lens, maxlen)
+
+    def call_score(self, params, state, yseq, pos):
+        if params is _NO_PARAMS:
+            return self.score(state, yseq, pos)
+        return self.score(params, state, yseq, pos)
 
 
 class BeamState(NamedTuple):
@@ -114,13 +144,18 @@ class BeamSearch:
         maxlen: Optional[int] = None,
         minlen: int = 0,
         return_finished: bool = False,
+        scorer_params: Optional[Dict[str, Any]] = None,
     ) -> Tuple[jnp.ndarray, ...]:
         """Run search. Returns (yseq (B, W, L), ylens (B, W), scores (B, W))
         sorted best-first, eos-terminated, sos at position 0. With
         return_finished=True, appends a (B,) bool mask: True where the
         entry produced at least one properly eos-ended hypothesis
         (False = forced close; reference retries with lower minlenratio,
-        beam_search.py:387-391)."""
+        beam_search.py:387-391).
+
+        scorer_params: optional {name: pytree} overriding each scorer's
+        stored params — pass THIS through a jit boundary so weights are
+        arguments of the compiled search, not captured constants."""
         b, t_enc, _ = memory.shape
         w = self.beam
         n = b * w
@@ -132,8 +167,16 @@ class BeamSearch:
         mem_t = jnp.repeat(memory, w, axis=0)
         mem_lens_t = jnp.repeat(memory_lens, w, axis=0)
 
+        # resolve per-scorer params: explicit override > stored pytree >
+        # legacy sentinel (closure-captured weights)
+        params = {
+            k: (scorer_params[k] if scorer_params and k in scorer_params
+                else s.params)
+            for k, s in self.full_scorers.items()
+        }
         scorer_states = {
-            k: s.init(mem_t, mem_lens_t, l) for k, s in self.full_scorers.items()
+            k: s.call_init(params[k], mem_t, mem_lens_t, l)
+            for k, s in self.full_scorers.items()
         }
         ctc_state = None
         ctc_logp_t = None
@@ -185,7 +228,8 @@ class BeamSearch:
 
         def body(st: BeamState):
             return self._step(
-                st, mem_t, mem_lens_t, ctc_logp_t, ctc_lens_t, b, w, l, minlen, maxlen
+                st, params, mem_t, mem_lens_t, ctc_logp_t, ctc_lens_t,
+                b, w, l, minlen, maxlen,
             )
 
         state = jax.lax.while_loop(cond, body, state)
@@ -202,7 +246,7 @@ class BeamSearch:
         return fin_yseq, fin_ylen, fin_scores
 
     # -- one step ------------------------------------------------------
-    def _step(self, st, mem_t, mem_lens_t, ctc_logp_t, ctc_lens_t, b, w, l, minlen, maxlen):
+    def _step(self, st, params, mem_t, mem_lens_t, ctc_logp_t, ctc_lens_t, b, w, l, minlen, maxlen):
         n = b * w
         v = self.vocab_size
         yseq_flat = st.yseq.reshape(n, l)
@@ -212,7 +256,9 @@ class BeamSearch:
         weighted = jnp.zeros((n, v))
         new_scorer_states = {}
         for name, scorer in self.full_scorers.items():
-            logp, new_s = scorer.score(st.scorer_states[name], yseq_flat, pos)
+            logp, new_s = scorer.call_score(
+                params[name], st.scorer_states[name], yseq_flat, pos
+            )
             weighted = weighted + scorer.weight * logp
             new_scorer_states[name] = new_s
         weighted = weighted + self.length_bonus  # token insertion bonus

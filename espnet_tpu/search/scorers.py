@@ -2,9 +2,13 @@
 protocol (≙ reference scorers/: decoder, LM fusion, length bonus;
 scorer_interface.py contract).
 
-Each builder returns a FullScorer whose closures capture the bound
-variables; per-utterance tensors (tiled encoder memory) are stashed by
-init() and shared across steps without living in the pruned state.
+Each builder stores the bound variables in FullScorer.params (NOT a
+closure capture), so callers can jit the whole search with the weights
+as arguments — captured weight constants serialize into the compile
+payload, which bloats compile time on any TPU and exceeds request
+limits under a remote-compile tunnel at d>=512 scale. Per-utterance
+tensors (tiled encoder memory) are stashed by init() and shared across
+steps without living in the pruned state.
 """
 from __future__ import annotations
 
@@ -22,29 +26,29 @@ def transformer_decoder_scorer(decoder, variables, weight: float) -> FullScorer:
     (one batched matmul stack per step — MXU-friendly)."""
     cache: Dict[str, Any] = {}
 
-    def init(mem, mem_lens, maxlen=None):
+    def init(params, mem, mem_lens, maxlen=None):
         cache["mem"], cache["lens"] = mem, mem_lens
         return ()
 
-    def score(state, yseq, pos):
+    def score(params, state, yseq, pos):
         logp = decoder.apply(
-            variables, cache["mem"], cache["lens"], yseq, pos, method="score_prefix"
+            params, cache["mem"], cache["lens"], yseq, pos, method="score_prefix"
         )
         return logp, state
 
-    return FullScorer(weight, init, score)
+    return FullScorer(weight, init, score, params=variables)
 
 
 def rnn_decoder_scorer(decoder, variables, weight: float) -> FullScorer:
     """Stateful: LSTM carries + location-attention weights as beam state."""
     cache: Dict[str, Any] = {}
 
-    def init(mem, mem_lens, maxlen=None):
+    def init(params, mem, mem_lens, maxlen=None):
         cache["mem"], cache["lens"] = mem, mem_lens
         n, t, _ = mem.shape
         cache["mask"] = make_non_pad_mask(mem_lens, t)
         cache["enc_proj"] = decoder.apply(
-            variables, mem, method=lambda m, x: m.step.att.pre_compute(x)
+            params, mem, method=lambda m, x: m.step.att.pre_compute(x)
         )
         dunits = decoder.dunits
         states = tuple(
@@ -56,10 +60,10 @@ def rnn_decoder_scorer(decoder, variables, weight: float) -> FullScorer:
         ).astype(mem.dtype)
         return (states, att_prev)
 
-    def score(state, yseq, pos):
+    def score(params, state, yseq, pos):
         token = jnp.take_along_axis(yseq, pos[:, None], axis=1)[:, 0]
         (new_carry, (logits, _)) = decoder.apply(
-            variables,
+            params,
             state,
             token,
             cache["mem"],
@@ -69,18 +73,18 @@ def rnn_decoder_scorer(decoder, variables, weight: float) -> FullScorer:
         )
         return jax.nn.log_softmax(logits, axis=-1), new_carry
 
-    return FullScorer(weight, init, score)
+    return FullScorer(weight, init, score, params=variables)
 
 
 def transformer_lm_scorer(lm, variables, weight: float) -> FullScorer:
-    def init(mem, mem_lens, maxlen=None):
+    def init(params, mem, mem_lens, maxlen=None):
         return ()
 
-    def score(state, yseq, pos):
-        logp = lm.apply(variables, yseq, pos, method="score_prefix")
+    def score(params, state, yseq, pos):
+        logp = lm.apply(params, yseq, pos, method="score_prefix")
         return logp, state
 
-    return FullScorer(weight, init, score)
+    return FullScorer(weight, init, score, params=variables)
 
 
 def transformer_lm_cached_scorer(lm, variables, weight: float) -> FullScorer:
@@ -89,31 +93,31 @@ def transformer_lm_cached_scorer(lm, variables, weight: float) -> FullScorer:
     the right scorer for large-beam operating points (reference
     decode_pytorch_transformer_large.yaml: beam 60, lm-weight 0.6)."""
 
-    def init(mem, mem_lens, maxlen):
+    def init(params, mem, mem_lens, maxlen):
         n = mem.shape[0]
-        return lm.apply(variables, n, maxlen, method="init_cache")
+        return lm.apply(params, n, maxlen, method="init_cache")
 
-    def score(state, yseq, pos):
+    def score(params, state, yseq, pos):
         token = jnp.take_along_axis(yseq, pos[:, None], axis=1)[:, 0]
         logp, new_cache = lm.apply(
-            variables, state, token, pos, method="score_step"
+            params, state, token, pos, method="score_step"
         )
         return logp, new_cache
 
-    return FullScorer(weight, init, score)
+    return FullScorer(weight, init, score, params=variables)
 
 
 def rnn_lm_scorer(lm, variables, weight: float) -> FullScorer:
-    def init(mem, mem_lens, maxlen=None):
+    def init(params, mem, mem_lens, maxlen=None):
         n = mem.shape[0]
-        return lm.apply(variables, n, method="init_carry")
+        return lm.apply(params, n, method="init_carry")
 
-    def score(state, yseq, pos):
+    def score(params, state, yseq, pos):
         token = jnp.take_along_axis(yseq, pos[:, None], axis=1)[:, 0]
-        new_carry, logits = lm.apply(variables, state, token, method="step")
+        new_carry, logits = lm.apply(params, state, token, method="step")
         return jax.nn.log_softmax(logits, axis=-1), new_carry
 
-    return FullScorer(weight, init, score)
+    return FullScorer(weight, init, score, params=variables)
 
 
 def transformer_decoder_cached_scorer(decoder, variables, weight: float) -> FullScorer:
@@ -122,17 +126,17 @@ def transformer_decoder_cached_scorer(decoder, variables, weight: float) -> Full
     reference)."""
     cache_env: Dict[str, Any] = {}
 
-    def init(mem, mem_lens, maxlen):
+    def init(params, mem, mem_lens, maxlen):
         cache_env["mem"], cache_env["lens"] = mem, mem_lens
         n = mem.shape[0]
-        return decoder.apply(variables, n, maxlen, method="init_cache")
+        return decoder.apply(params, n, maxlen, method="init_cache")
 
-    def score(state, yseq, pos):
+    def score(params, state, yseq, pos):
         token = jnp.take_along_axis(yseq, pos[:, None], axis=1)[:, 0]
         logp, new_cache = decoder.apply(
-            variables, state, cache_env["mem"], cache_env["lens"], token, pos,
+            params, state, cache_env["mem"], cache_env["lens"], token, pos,
             method="score_step",
         )
         return logp, new_cache
 
-    return FullScorer(weight, init, score)
+    return FullScorer(weight, init, score, params=variables)

@@ -113,19 +113,24 @@ def lookahead_word_lm_scorer(
     v = len(token_list)
     space_id = token_list.index(space_symbol) if space_symbol in token_list else -1
     eos_id = v - 1
-    children = jnp.asarray(trie.children)
-    subtree = jnp.asarray(trie.subtree_lse)
-    word_lp = jnp.asarray(trie.word_logp)
+    trie_params = {
+        "children": jnp.asarray(trie.children),
+        "subtree": jnp.asarray(trie.subtree_lse),
+        "word_lp": jnp.asarray(trie.word_logp),
+    }
     unk = trie.unk_logp
 
     char_ids = jnp.arange(v)
     is_boundary = (char_ids == space_id) | (char_ids == eos_id)
 
-    def init(mem, mem_lens, maxlen=None):
+    def init(params, mem, mem_lens, maxlen=None):
         n = mem.shape[0]
         return (jnp.zeros((n,), jnp.int32), jnp.zeros((n,), bool))
 
-    def score(state, yseq, pos):
+    def score(params, state, yseq, pos):
+        children = params["children"]
+        subtree = params["subtree"]
+        word_lp = params["word_lp"]
         node, in_unk = state
         last = jnp.take_along_axis(yseq, pos[:, None], axis=1)[:, 0]  # (N,)
         sos = eos_id  # sos==eos convention; at step 0 last==sos → stay at root
@@ -158,4 +163,4 @@ def lookahead_word_lm_scorer(
         logp = jnp.where(is_boundary[None, :], boundary_scores, char_scores)
         return logp, (new_node, new_in_unk)
 
-    return FullScorer(weight, init, score)
+    return FullScorer(weight, init, score, params=trie_params)

@@ -115,14 +115,14 @@ def ngram_scorer(lm: ArpaLM, token_list: List[str], weight: float):
     _, bi = dense_bigram_tables(lm, token_list)
     bi_t = jnp.asarray(bi)
 
-    def init(mem, mem_lens, maxlen=None):
+    def init(params, mem, mem_lens, maxlen=None):
         return ()
 
-    def score(state, yseq, pos):
+    def score(params, state, yseq, pos):
         last = jnp.take_along_axis(yseq, pos[:, None], axis=1)[:, 0]  # (N,)
-        return bi_t[last], state
+        return params[last], state
 
-    return FullScorer(weight, init, score)
+    return FullScorer(weight, init, score, params=bi_t)
 
 
 def _encode_keys(ids: "np.ndarray", v: int) -> "np.ndarray":
@@ -204,9 +204,9 @@ def ngram_full_scorer(
     }
     sos_id = token_list.index(sos_symbol) if sos_symbol in token_list else 0
 
-    def probe(order, keys_q):
+    def probe(tables_dev, order, keys_q):
         """keys_q (...,) int64 → (logp, backoff, found)."""
-        keys, logp, bo = dev[order]
+        keys, logp, bo = tables_dev[order]
         idx = jnp.searchsorted(keys, keys_q)
         idx_c = jnp.minimum(idx, len(keys) - 1)
         found = keys[idx_c] == keys_q
@@ -216,10 +216,10 @@ def ngram_full_scorer(
             found,
         )
 
-    def init(mem, mem_lens, maxlen=None):
+    def init(params, mem, mem_lens, maxlen=None):
         return ()
 
-    def score(state, yseq, pos):
+    def score(params, state, yseq, pos):
         # yseq (N, L) with yseq[:,0] = sos; pos (N,) index of last token
         n, l = yseq.shape
         # context = last (k_max-1) tokens (right-aligned, 0-padded via
@@ -253,13 +253,13 @@ def ngram_full_scorer(
             usable = valid_ctx >= clen
             if order in dev:
                 q = ctx[:, None] * base + (words + 1)  # (N, V)
-                lp, _, found = probe(order, q)
+                lp, _, found = probe(params, order, q)
                 take = found & usable[:, None] & ~resolved
                 out = jnp.where(take, lp + bo_acc[:, None], out)
                 resolved = resolved | take
                 # backoff weight of THIS context for the next-lower order
                 if clen >= 1 and clen in dev:
-                    _, bo_c, bo_found = probe(clen, ctx)
+                    _, bo_c, bo_found = probe(params, clen, ctx)
                     bo_acc = bo_acc + jnp.where(
                         bo_found & usable, bo_c, 0.0
                     )
@@ -269,4 +269,4 @@ def ngram_full_scorer(
         out = jnp.where(resolved, out, -20.0 + bo_acc[:, None])  # OOV floor
         return out, state
 
-    return FullScorer(weight, init, score)
+    return FullScorer(weight, init, score, params=dev)

@@ -18,10 +18,10 @@ def _score_sequence(scorer, chars):
     yseq = [t2i["<sos/eos>"]] + [t2i[c] for c in chars]
     yseq_arr = jnp.asarray(np.array([yseq + [0] * 3], np.int32))
     mem = jnp.zeros((1, 2, 4))
-    state = scorer.init(mem, jnp.array([2]), 8)
+    state = scorer.call_init(scorer.params, mem, jnp.array([2]), 8)
     total = 0.0
     for pos in range(len(yseq) - 1):
-        logp, state = scorer.score(state, yseq_arr, jnp.array([pos]))
+        logp, state = scorer.call_score(scorer.params, state, yseq_arr, jnp.array([pos]))
         total += float(logp[0, yseq[pos + 1]])
     return total
 
@@ -48,8 +48,8 @@ def test_lookahead_prefers_likely_prefix():
     t2i = {t: i for i, t in enumerate(TOKENS)}
     yseq = jnp.asarray(np.array([[t2i["<sos/eos>"], 0, 0]], np.int32))
     mem = jnp.zeros((1, 2, 4))
-    state = scorer.init(mem, jnp.array([2]), 4)
-    logp, _ = scorer.score(state, yseq, jnp.array([0]))
+    state = scorer.call_init(scorer.params, mem, jnp.array([2]), 4)
+    logp, _ = scorer.call_score(scorer.params, state, yseq, jnp.array([0]))
     # P(a...) = 0.8 mass vs P(b...) = 0.2
     assert float(logp[0, t2i["a"]]) > float(logp[0, t2i["b"]])
     np.testing.assert_allclose(float(logp[0, t2i["a"]]), np.log(0.8), rtol=1e-4)

@@ -212,7 +212,7 @@ def test_arbitrary_order_scorer_matches_host(tmp_path):
         ids = [sos] + [tok2id[w] for w in prefix]
         yseq = jnp.asarray([ids + [0] * (6 - len(ids))], jnp.int32)
         pos = jnp.asarray([len(ids) - 1], jnp.int32)
-        got, _ = scorer.score((), yseq, pos)
+        got, _ = scorer.call_score(scorer.params, (), yseq, pos)
         got = np.asarray(got)[0]
         for w, wi in [("A", 2), ("B", 3), ("</s>", sos)]:
             want = lm.score(("<s>",) + prefix, w)
