@@ -1,6 +1,9 @@
 from espnet_tpu.models.asr.transformer_encoder import TransformerEncoder
 from espnet_tpu.models.asr.conformer_encoder import ConformerEncoder
-from espnet_tpu.models.asr.transformer_decoder import TransformerDecoder
+from espnet_tpu.models.asr.transformer_decoder import (
+    ScannedTransformerDecoder,
+    TransformerDecoder,
+)
 from espnet_tpu.models.asr.rnn_encoder import RNNEncoder, VGG2L
 from espnet_tpu.models.asr.rnn_decoder import RNNDecoder
 from espnet_tpu.models.asr.ctc import CTCHead
@@ -10,6 +13,7 @@ __all__ = [
     "TransformerEncoder",
     "ConformerEncoder",
     "TransformerDecoder",
+    "ScannedTransformerDecoder",
     "RNNEncoder",
     "VGG2L",
     "RNNDecoder",

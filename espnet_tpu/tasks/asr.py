@@ -29,6 +29,7 @@ from espnet_tpu.models.asr import (
     ConformerEncoder,
     RNNDecoder,
     RNNEncoder,
+    ScannedTransformerDecoder,
     TransformerDecoder,
     TransformerEncoder,
 )
@@ -84,6 +85,9 @@ ENCODERS = {
 }
 DECODERS = {
     "transformer": TransformerDecoder,
+    # layer stack as lax.scan over stacked params: compiled program
+    # constant in depth (for deep decoders / remote-compile payloads)
+    "transformer_scan": ScannedTransformerDecoder,
     "rnn": RNNDecoder,
 }
 

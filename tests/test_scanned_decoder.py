@@ -1,0 +1,133 @@
+"""ScannedTransformerDecoder: the ASR attention decoder with its layer
+stack as a lax.scan over stacked params (compiled program constant in
+depth — the round-5 remote-compile-payload finding applied to the
+decoder; surface parity with TransformerDecoder, reference
+transformer/decoder.py:47).
+
+Certifies: (1) numerical equality with the unrolled TransformerDecoder
+under transplanted (stacked) weights, (2) cached score_step ==
+score_prefix stepwise, (3) jaxpr size ~constant in num_blocks, and
+(4) the decoder drives the product beam search end-to-end.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from espnet_tpu.models.asr import (
+    ASRModel,
+    ScannedTransformerDecoder,
+    TransformerDecoder,
+    TransformerEncoder,
+)
+
+V = 7
+D = 16
+
+
+def _stack_layers(unrolled_params, num_blocks):
+    """TransformerDecoder params (layers_0..layers_{L-1}) -> the scanned
+    layout (one 'layer' subtree with a leading L axis on every leaf)."""
+    out = {k: v for k, v in unrolled_params.items() if not k.startswith("layers_")}
+    per_layer = [unrolled_params[f"layers_{i}"] for i in range(num_blocks)]
+    out["layer"] = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *per_layer
+    )
+    return out
+
+
+def _mk(num_blocks=3, cls=ScannedTransformerDecoder):
+    return cls(
+        V, attention_dim=D, attention_heads=2, linear_units=24,
+        num_blocks=num_blocks,
+    )
+
+
+def test_matches_unrolled_decoder_with_transplanted_weights():
+    l = 3
+    rng = np.random.RandomState(0)
+    mem = jnp.asarray(rng.randn(2, 5, D).astype(np.float32))
+    mem_lens = jnp.array([5, 4])
+    ys = jnp.asarray(rng.randint(1, V - 1, (2, 4)).astype(np.int32))
+    ylens = jnp.array([4, 3])
+
+    dense = _mk(l, TransformerDecoder)
+    dv = dense.init(jax.random.PRNGKey(0), mem, mem_lens, ys, ylens)
+    want = dense.apply(dv, mem, mem_lens, ys, ylens)
+
+    scanned = _mk(l)
+    sv = {"params": _stack_layers(dv["params"], l)}
+    # shape check against a freshly-initialized scanned tree
+    ref = scanned.init(jax.random.PRNGKey(1), mem, mem_lens, ys, ylens)
+    chex_shapes = jax.tree_util.tree_map(lambda a, b: a.shape == b.shape, ref, sv)
+    assert all(jax.tree_util.tree_leaves(chex_shapes))
+    got = scanned.apply(sv, mem, mem_lens, ys, ylens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_cached_step_matches_prefix():
+    l = 3
+    rng = np.random.RandomState(1)
+    mem = jnp.asarray(rng.randn(2, 5, D).astype(np.float32))
+    mem_lens = jnp.array([5, 4])
+    yseq = jnp.asarray(rng.randint(1, V - 1, (2, 6)).astype(np.int32))
+    dec = _mk(l)
+    variables = dec.init(
+        jax.random.PRNGKey(0), mem, mem_lens, yseq, jnp.array([6, 6])
+    )
+    # stacked leading axis present
+    assert variables["params"]["layer"]["norm1"]["scale"].shape[0] == l
+    cache = dec.apply(variables, 2, 6, method="init_cache")
+    for t in range(6):
+        pos = jnp.full((2,), t, jnp.int32)
+        got, cache = dec.apply(
+            variables, cache, mem, mem_lens, yseq[:, t], pos, method="score_step"
+        )
+        want = dec.apply(variables, mem, mem_lens, yseq, pos, method="score_prefix")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_program_size_constant_in_depth():
+    rng = np.random.RandomState(2)
+    mem = jnp.asarray(rng.randn(1, 5, D).astype(np.float32))
+    mem_lens = jnp.array([5])
+    ys = jnp.asarray(rng.randint(1, V - 1, (1, 4)).astype(np.int32))
+
+    def neqns(l):
+        dec = _mk(l)
+        v = dec.init(jax.random.PRNGKey(0), mem, mem_lens, ys, jnp.array([4]))
+        jaxpr = jax.make_jaxpr(
+            lambda vv: dec.apply(vv, mem, mem_lens, ys, jnp.array([4]))
+        )(v)
+        return sum(1 for _ in jaxpr.jaxpr.eqns)
+
+    shallow, deep = neqns(2), neqns(8)
+    # 4x the depth must not grow the traced program (scan body is shared)
+    assert deep <= shallow + 2, (shallow, deep)
+
+
+def test_drives_product_beam_search():
+    from espnet_tpu.bin.asr_inference import Speech2Text
+
+    rng = np.random.RandomState(3)
+    enc = TransformerEncoder(
+        attention_dim=D, attention_heads=2, linear_units=24, num_blocks=1,
+        input_layer="linear",
+    )
+    dec = _mk(2)
+    model = ASRModel(vocab_size=V, encoder=enc, decoder=dec, ctc_weight=0.3)
+    feats = jnp.asarray(rng.randn(1, 6, 8).astype(np.float32))
+    ilens = jnp.array([6])
+    ys = jnp.asarray(rng.randint(1, V - 1, (1, 3)).astype(np.int32))
+    variables = model.init(jax.random.PRNGKey(0), feats, ilens, ys, jnp.array([3]))
+    token_list = ["<blank>", "a", "b", "c", "d", "<space>", "<sos/eos>"]
+    s2t = Speech2Text(model, variables, token_list, beam_size=3, ctc_weight=0.3)
+    res = s2t(np.asarray(feats), np.asarray(ilens))
+    assert len(res) == 1 and np.isfinite(res[0][0][3])
+
+
+def test_task_registry_builds_transformer_scan():
+    from espnet_tpu.tasks.asr import DECODERS
+
+    assert DECODERS["transformer_scan"] is ScannedTransformerDecoder
