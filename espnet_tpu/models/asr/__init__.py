@@ -1,4 +1,7 @@
-from espnet_tpu.models.asr.transformer_encoder import TransformerEncoder
+from espnet_tpu.models.asr.transformer_encoder import (
+    ScannedTransformerEncoder,
+    TransformerEncoder,
+)
 from espnet_tpu.models.asr.conformer_encoder import ConformerEncoder
 from espnet_tpu.models.asr.transformer_decoder import (
     ScannedTransformerDecoder,
@@ -11,6 +14,7 @@ from espnet_tpu.models.asr.espnet_model import ASRModel
 
 __all__ = [
     "TransformerEncoder",
+    "ScannedTransformerEncoder",
     "ConformerEncoder",
     "TransformerDecoder",
     "ScannedTransformerDecoder",

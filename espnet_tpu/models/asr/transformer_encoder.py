@@ -149,3 +149,82 @@ class TransformerEncoder(nn.Module):
         if self.normalize_before:
             xs = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)(xs)
         return xs.astype(jnp.float32), olens
+
+
+class ScannedTransformerEncoder(nn.Module):
+    """TransformerEncoder with the block stack as a jax.lax.scan over ONE
+    layer's stacked params — compiled program (and serialized HLO)
+    constant in depth (round-5 remote-compile-payload finding; same
+    mechanism as ScannedTransformerDecoder / ScannedTransformerLM).
+    Uniform selfattn blocks only — a scan body must be layer-invariant.
+    Reference surface: transformer/encoder.py:48."""
+
+    attention_dim: int = 256
+    attention_heads: int = 4
+    linear_units: int = 2048
+    num_blocks: int = 6
+    dropout_rate: float = 0.1
+    positional_dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    input_layer: str = "conv2d"  # conv2d | conv2d6 | conv2d8 | linear | embed
+    normalize_before: bool = True
+    vocab_size: int = 0
+    positionwise_layer_type: str = "linear"
+    positionwise_conv_kernel_size: int = 3
+    dtype: type = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        xs: jnp.ndarray,
+        ilens: jnp.ndarray,
+        deterministic: bool = True,
+    ):
+        if self.input_layer in ("conv2d", "conv2d6", "conv2d8"):
+            factor = {"conv2d": 4, "conv2d6": 6, "conv2d8": 8}[self.input_layer]
+            xs, olens = Conv2dSubsampling(
+                self.attention_dim, factor, dtype=self.dtype
+            )(xs.astype(self.dtype), ilens, deterministic=deterministic)
+        elif self.input_layer == "linear":
+            xs = nn.Dense(self.attention_dim)(xs)
+            xs = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)(xs)
+            xs = nn.Dropout(self.dropout_rate)(xs, deterministic=deterministic)
+            xs = nn.relu(xs)
+            olens = ilens
+        elif self.input_layer == "embed":
+            if self.vocab_size <= 0:
+                raise ValueError("vocab_size required for embed input layer")
+            xs = nn.Embed(self.vocab_size, self.attention_dim)(xs)
+            olens = ilens
+        else:
+            raise ValueError(self.input_layer)
+        xs = PositionalEncoding(self.attention_dim, self.positional_dropout_rate)(
+            xs, deterministic=deterministic
+        )
+        mask = make_non_pad_mask(olens, xs.shape[1])[:, None, :]
+
+        layer = TransformerEncoderLayer(
+            self.attention_dim,
+            self.attention_heads,
+            self.linear_units,
+            self.dropout_rate,
+            self.attention_dropout_rate,
+            self.normalize_before,
+            positionwise_layer_type=self.positionwise_layer_type,
+            positionwise_conv_kernel_size=self.positionwise_conv_kernel_size,
+            dtype=self.dtype,
+        )
+
+        def body(blk, carry, _):
+            x, m = carry
+            return (blk(x, m, deterministic=deterministic), m), None
+
+        (xs, _), _ = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.num_blocks,
+        )(layer, (xs, mask), None)
+        if self.normalize_before:
+            xs = nn.LayerNorm(dtype=self.dtype, epsilon=1e-12)(xs)
+        return xs.astype(jnp.float32), olens

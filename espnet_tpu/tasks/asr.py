@@ -30,6 +30,7 @@ from espnet_tpu.models.asr import (
     RNNDecoder,
     RNNEncoder,
     ScannedTransformerDecoder,
+    ScannedTransformerEncoder,
     TransformerDecoder,
     TransformerEncoder,
 )
@@ -80,6 +81,9 @@ def _build_normalize(config, has_frontend: bool):
 
 ENCODERS = {
     "transformer": TransformerEncoder,
+    # layer stack as lax.scan over stacked params: compiled program
+    # constant in depth (for deep encoders / remote-compile payloads)
+    "transformer_scan": ScannedTransformerEncoder,
     "conformer": ConformerEncoder,
     "rnn": RNNEncoder,
 }

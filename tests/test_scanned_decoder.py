@@ -128,6 +128,63 @@ def test_drives_product_beam_search():
 
 
 def test_task_registry_builds_transformer_scan():
-    from espnet_tpu.tasks.asr import DECODERS
+    from espnet_tpu.tasks.asr import DECODERS, ENCODERS
+    from espnet_tpu.models.asr import ScannedTransformerEncoder
 
     assert DECODERS["transformer_scan"] is ScannedTransformerDecoder
+    assert ENCODERS["transformer_scan"] is ScannedTransformerEncoder
+
+
+def test_scanned_encoder_matches_unrolled_with_transplanted_weights():
+    from espnet_tpu.models.asr import ScannedTransformerEncoder
+
+    l = 3
+    rng = np.random.RandomState(4)
+    xs = jnp.asarray(rng.randn(2, 7, 9).astype(np.float32))
+    ilens = jnp.array([7, 5])
+    kw = dict(
+        attention_dim=D, attention_heads=2, linear_units=24,
+        num_blocks=l, input_layer="linear",
+    )
+    dense = TransformerEncoder(**kw)
+    dv = dense.init(jax.random.PRNGKey(0), xs, ilens)
+    want, wlens = dense.apply(dv, xs, ilens)
+
+    scanned = ScannedTransformerEncoder(**kw)
+    # compact naming: per-layer TransformerEncoderLayer_i -> one stacked
+    # TransformerEncoderLayer_0 subtree
+    p = {
+        k: v
+        for k, v in dv["params"].items()
+        if not k.startswith("TransformerEncoderLayer_")
+    }
+    per = [dv["params"][f"TransformerEncoderLayer_{i}"] for i in range(l)]
+    p["TransformerEncoderLayer_0"] = jax.tree_util.tree_map(
+        lambda *a: jnp.stack(a, axis=0), *per
+    )
+    ref = scanned.init(jax.random.PRNGKey(1), xs, ilens)
+    same = jax.tree_util.tree_map(lambda a, b: a.shape == b.shape, ref, {"params": p})
+    assert all(jax.tree_util.tree_leaves(same))
+    got, glens = scanned.apply({"params": p}, xs, ilens)
+    np.testing.assert_array_equal(np.asarray(wlens), np.asarray(glens))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_scanned_encoder_program_size_constant_in_depth():
+    from espnet_tpu.models.asr import ScannedTransformerEncoder
+
+    rng = np.random.RandomState(5)
+    xs = jnp.asarray(rng.randn(1, 7, 9).astype(np.float32))
+    ilens = jnp.array([7])
+
+    def neqns(l):
+        enc = ScannedTransformerEncoder(
+            attention_dim=D, attention_heads=2, linear_units=24,
+            num_blocks=l, input_layer="linear",
+        )
+        v = enc.init(jax.random.PRNGKey(0), xs, ilens)
+        jaxpr = jax.make_jaxpr(lambda vv: enc.apply(vv, xs, ilens))(v)
+        return sum(1 for _ in jaxpr.jaxpr.eqns)
+
+    shallow, deep = neqns(2), neqns(8)
+    assert deep <= shallow + 2, (shallow, deep)
