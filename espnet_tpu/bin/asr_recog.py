@@ -344,7 +344,10 @@ def _streaming_recog(args, model, variables, token_list):
     # closures cache by bucketed shape); a fresh instance per utterance
     # would recompile the encoder every time
     if args.streaming_mode == "window":
-        dec = WindowStreamingASR(model, variables)
+        # max_frames is a runaway-stream guard; raw-sample input (in-
+        # model frontend) counts SAMPLES, so size it for minutes of
+        # audio — the device buffer only grows by doubling as needed
+        dec = WindowStreamingASR(model, variables, max_frames=2**20)
     else:
         dec = SegmentStreamingASR(model, variables)
     for key in ds.keys:

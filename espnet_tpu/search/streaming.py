@@ -89,7 +89,8 @@ class WindowStreamingASR:
 
             @jax.jit
             def step(buf, chunk, t_cur, total_len):
-                buf = jax.lax.dynamic_update_slice(buf, chunk, (0, t_cur, 0))
+                start = (0, t_cur) + (0,) * (buf.ndim - 2)
+                buf = jax.lax.dynamic_update_slice(buf, chunk, start)
                 hs, hlens = model.apply(
                     variables, buf, total_len[None], method="encode"
                 )
@@ -103,14 +104,17 @@ class WindowStreamingASR:
         self.buf, self.t_cur = None, 0
 
     def accept_input(self, frames: np.ndarray) -> List[int]:
-        """frames: (t, D) new feature frames → current hypothesis ids."""
+        """frames: (t, D) new feature frames — or (t,) raw samples when
+        the model carries an in-model frontend — → current hypothesis
+        ids."""
         frames = np.asarray(frames, dtype=np.float32)
-        t_new, d = frames.shape
+        t_new = frames.shape[0]
+        trail = ((0, 0),) * (frames.ndim - 1)
         chunk_pad = max(
             (t_new + self.hop - 1) // self.hop * self.hop, self.hop
         )
         if chunk_pad > t_new:
-            frames = np.pad(frames, ((0, chunk_pad - t_new), (0, 0)))
+            frames = np.pad(frames, ((0, chunk_pad - t_new),) + trail)
         if self.buf is None:
             self.t_cur = 0  # `stream.buf = None` is the legacy reset
         total = self.t_cur + t_new
@@ -123,11 +127,11 @@ class WindowStreamingASR:
         while cap < total:
             cap *= 2
         if self.buf is None:
-            self.buf = jnp.zeros((1, cap, d), jnp.float32)
+            self.buf = jnp.zeros((1, cap) + frames.shape[1:], jnp.float32)
         elif self.buf.shape[1] < cap:
             # rare growth hop: zero-extend on device
             self.buf = jnp.pad(
-                self.buf, ((0, 0), (0, cap - self.buf.shape[1]), (0, 0))
+                self.buf, ((0, 0), (0, cap - self.buf.shape[1])) + trail
             )
         step = self._step_fn(cap, chunk_pad)
         self.buf, ids, hlens = step(
