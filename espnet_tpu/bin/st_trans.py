@@ -51,8 +51,18 @@ def run_translate(args, task: str):
         ctc_weight=0.0,
         length_bonus=args.penalty,
     )
+    # weights as jit ARGUMENTS, not closure constants (see
+    # asr_inference.py: captured params serialize into the compile
+    # payload — compile-time bloat, remote-tunnel hard limit at scale)
+    scorer_params = {"decoder": dec_vars}
+    search = jax.jit(
+        lambda sp, h, hl, maxlen, minlen: beam(
+            h, hl, maxlen=maxlen, minlen=minlen, scorer_params=sp
+        ),
+        static_argnames=("maxlen", "minlen"),
+    )
     encode = jax.jit(
-        lambda x, lens: model.apply(variables, x, lens, method="encode")
+        lambda v, x, lens: model.apply(v, x, lens, method="encode")
     )
 
     pre = None
@@ -75,11 +85,11 @@ def run_translate(args, task: str):
             x, lens = batch["speech"], batch["speech_lengths"]
         else:
             x, lens = batch["src_text"], batch["src_text_lengths"]
-        hs, hlens = encode(jnp.asarray(x), jnp.asarray(lens))
+        hs, hlens = encode(variables, jnp.asarray(x), jnp.asarray(lens))
         t_src = int(np.asarray(hlens).max())
         maxlen = max(int(args.maxlenratio * t_src), 2)
-        yseq, ylen, scores = beam(
-            hs, hlens, maxlen=maxlen, minlen=int(args.minlenratio * t_src)
+        yseq, ylen, scores = search(
+            scorer_params, hs, hlens, maxlen, int(args.minlenratio * t_src)
         )
         yseq, ylen = np.asarray(yseq), np.asarray(ylen)
         for b, k in enumerate(kb):
